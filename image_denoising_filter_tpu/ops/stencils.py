@@ -1,0 +1,551 @@
+"""Pallas TPU stencil kernels: bilateral, layer-guided cross-bilateral, NLM,
+and the normalize epilogue.
+
+These are the TPU-native re-design of the reference's five compute shaders
+(shaders/bialteral.comp, bialteral_linear.comp, bialteral_layers.comp,
+nonlocal.comp, normalize.comp). Instead of a 16x16 workgroup per pixel block
+re-fetching every tap from texture memory, each kernel:
+
+  * grids over (tile_h x tile_w) output tiles;
+  * DMAs the tile plus its stencil halo from HBM into a VMEM scratch buffer
+    once. Mosaic requires HBM slices to be tiling-aligned, so the halo is
+    rounded up: rows to a multiple of 4 (so 2*halo is sublane-aligned), lanes
+    to a multiple of 128; the image is pre-padded host-side per the border
+    policy so in-kernel indexing is branch-free;
+  * walks the row offsets with a roll-carry: the VMEM tile is carried through
+    the fori_loop and cyclically rolled up one row per iteration, so every
+    slice in the loop body is *static* (Mosaic cannot prove alignment of
+    arbitrary dynamic sublane offsets). Column offsets are a static unrolled
+    loop of lane-shifted slices;
+  * fuses the spatial and color Gaussians into a single exp per tap
+    (algebraically identical to the reference's two exps and sqrt-then-square);
+  * for NLM, uses the offset decomposition: per search offset, the patch SSD is
+    a 2p x 2p separable box sum of a per-pixel squared-difference image --
+    identical math to the quadruple loop at ~10x fewer flops.
+
+Layout: images are handled planar (4, H, W) float32 -- channels first, W on the
+128-lane axis -- the TPU analog of the reference's "tiled optimal" texture
+layout. The "linear" layout variant lives in ops/xla.py.
+
+All public functions take/return (H, W, 4) float32 arrays (transposed
+internally) so they are drop-in interchangeable with ops/reference.py and
+ops/xla.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import (
+    BilateralParams,
+    BorderPolicy,
+    LayersParams,
+    NlmParams,
+    NormalizeParams,
+    TilingConfig,
+)
+
+DEFAULT_TILE_H = 128
+DEFAULT_TILE_W = 256
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _use_interpret() -> bool:
+    """Pallas interpret mode off-TPU (tests run on the CPU backend)."""
+    return jax.default_backend() != "tpu"
+
+
+def _halos(r: int) -> tuple[int, int]:
+    """(row_halo, lane_halo) aligned for Mosaic HBM slicing: the row slice size
+    tile_h + 2*rh must be sublane (8) aligned and the lane slice size
+    tile_w + 2*lh lane (128) aligned."""
+    return _round_up(r, 4), _round_up(r, 128)
+
+
+def _pick_tile(h: int, w: int, tiling: Optional[TilingConfig]) -> tuple[int, int]:
+    th = tiling.tile_h if tiling and tiling.tile_h else min(_round_up(h, 8), DEFAULT_TILE_H)
+    tw = tiling.tile_w if tiling and tiling.tile_w else min(_round_up(w, 128), DEFAULT_TILE_W)
+    assert th % 8 == 0 and tw % 128 == 0, "tile_h must be 8-aligned, tile_w 128-aligned"
+    return th, tw
+
+
+def _to_planar(img: jnp.ndarray) -> jnp.ndarray:
+    return jnp.transpose(img.astype(jnp.float32), (2, 0, 1))
+
+
+def _from_planar(img: jnp.ndarray) -> jnp.ndarray:
+    return jnp.transpose(img, (1, 2, 0))
+
+
+def _pad_planar(
+    img: jnp.ndarray,
+    rh: int,
+    lh: int,
+    border: str,
+    grid_h: int,
+    th: int,
+    grid_w: int,
+    tw: int,
+) -> jnp.ndarray:
+    """Pad (C, H, W) so every tile's halo DMA is in-bounds and aligned:
+    row halo rh / lane halo lh on the leading edges, plus tile-alignment slack
+    on the trailing edges."""
+    _, h, w = img.shape
+    extra_h = grid_h * th - h
+    extra_w = grid_w * tw - w
+    mode = "edge" if border == BorderPolicy.CLAMP else "constant"
+    return jnp.pad(
+        img,
+        ((0, 0), (rh, rh + extra_h), (lh, lh + extra_w)),
+        mode=mode,
+    )
+
+
+def _roll_up(v: jnp.ndarray) -> jnp.ndarray:
+    """Cyclically shift rows (axis 0 of a 2D plane) up by one.
+
+    Performance note: kernels carry each channel as a separate 2D plane and
+    slice both dims in a single op -- slicing a 3D value (or pre-slicing one
+    axis of a slab) makes Mosaic relayout the whole slab per access, measured
+    43x slower on v5e.
+    """
+    return pltpu.roll(v, v.shape[0] - 1, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Bilateral (shaders/bialteral.comp) -- also the weight engine for the
+# layer-guided variant (shaders/bialteral_layers.comp) via `guide`.
+# ---------------------------------------------------------------------------
+
+
+def _bilateral_kernel(
+    img_hbm,
+    guide_hbm,
+    out_wc_ref,
+    out_nw_ref,
+    img_tile,
+    guide_tile,
+    sem,
+    *,
+    radius: int,
+    th: int,
+    tw: int,
+    rh: int,
+    lh: int,
+    inv_ss2: float,
+    inv2sc: float,
+    blue_bug: bool,
+    guided: bool,
+    fuse_normalize: bool,
+):
+    r = radius
+    i, j = pl.program_id(0), pl.program_id(1)
+    rows = pl.ds(i * th, th + 2 * rh)
+    cols = pl.ds(j * tw, tw + 2 * lh)
+    cp = pltpu.make_async_copy(img_hbm.at[:, rows, cols], img_tile, sem.at[0])
+    cp.start()
+    if guided:
+        cpg = pltpu.make_async_copy(guide_hbm.at[:, rows, cols], guide_tile, sem.at[1])
+        cpg.start()
+        cpg.wait()
+    cp.wait()
+
+    # Center pixels (weight source): tile-relative (0,0) sits at scratch (rh, lh).
+    wsrc_ref = guide_tile if guided else img_tile
+    cr = wsrc_ref[0, rh : rh + th, lh : lh + tw]
+    cg = wsrc_ref[1, rh : rh + th, lh : lh + tw]
+    cb = wsrc_ref[2, rh : rh + th, lh : lh + tw]
+
+    rbase = rh - r  # top tap row within the rolled planes
+    cbase = lh - r  # leftmost tap lane
+
+    # Carried state: accumulators + one rolled 2D plane per channel (separate
+    # 2D planes, see _roll_up's performance note). Guided mode additionally
+    # rolls the guide's RGB planes (its alpha is never read,
+    # bialteral_layers.comp:46-55).
+    n_img = 4
+    n_guide = 3 if guided else 0
+
+    def row_body(dy, carry):
+        wc0, wc1, wc2, wc3, nw = carry[:5]
+        vimg = carry[5 : 5 + n_img]
+        vg = carry[5 + n_img :]
+        wsrc = vg if guided else vimg
+        fy = (dy - r).astype(jnp.float32)
+        row_term = jnp.float32(-0.5 * inv_ss2) * fy * fy
+        for dx in range(2 * r + 1):
+            col_term = np.float32(-0.5 * inv_ss2 * (dx - r) ** 2)
+            c0 = cbase + dx
+            gr = wsrc[0][rbase : rbase + th, c0 : c0 + tw]
+            gg = wsrc[1][rbase : rbase + th, c0 : c0 + tw]
+            dr = cr - gr
+            dg = cg - gg
+            ssd = dr * dr + dg * dg
+            gb = wsrc[2][rbase : rbase + th, c0 : c0 + tw]
+            if not blue_bug:
+                db = cb - gb
+                ssd = ssd + db * db
+            wgt = jnp.exp((row_term + col_term) - ssd * jnp.float32(inv2sc))
+            if guided:
+                t0 = vimg[0][rbase : rbase + th, c0 : c0 + tw]
+                t1 = vimg[1][rbase : rbase + th, c0 : c0 + tw]
+                t2 = vimg[2][rbase : rbase + th, c0 : c0 + tw]
+            else:
+                t0, t1, t2 = gr, gg, gb
+            t3 = vimg[3][rbase : rbase + th, c0 : c0 + tw]
+            wc0 = wc0 + t0 * wgt
+            wc1 = wc1 + t1 * wgt
+            wc2 = wc2 + t2 * wgt
+            wc3 = wc3 + t3 * wgt
+            nw = nw + wgt
+        rolled = tuple(_roll_up(v) for v in (*vimg, *vg))
+        return (wc0, wc1, wc2, wc3, nw, *rolled)
+
+    zero = jnp.zeros((th, tw), jnp.float32)
+    init = (
+        zero,
+        zero,
+        zero,
+        zero,
+        zero,
+        *(img_tile[c] for c in range(4)),
+        *((guide_tile[c] for c in range(3)) if guided else ()),
+    )
+    out = jax.lax.fori_loop(0, 2 * r + 1, row_body, init)
+    wc0, wc1, wc2, wc3, nw = out[:5]
+    if fuse_normalize:
+        inv = 1.0 / nw
+        out_wc_ref[0] = wc0 * inv
+        out_wc_ref[1] = wc1 * inv
+        out_wc_ref[2] = wc2 * inv
+        out_wc_ref[3] = wc3 * inv
+    else:
+        out_wc_ref[0] = wc0
+        out_wc_ref[1] = wc1
+        out_wc_ref[2] = wc2
+        out_wc_ref[3] = wc3
+    out_nw_ref[0] = nw
+
+
+def _bilateral_planar(
+    img: jnp.ndarray,
+    guide: Optional[jnp.ndarray],
+    params: BilateralParams,
+    tiling: Optional[TilingConfig],
+    fuse_normalize: bool,
+):
+    _, h, w = img.shape
+    r = params.radius
+    rh, lh = _halos(r)
+    th, tw = _pick_tile(h, w, tiling)
+    grid = (pl.cdiv(h, th), pl.cdiv(w, tw))
+    padded = _pad_planar(img, rh, lh, params.border, grid[0], th, grid[1], tw)
+    guided = guide is not None
+    padded_g = (
+        _pad_planar(guide, rh, lh, params.border, grid[0], th, grid[1], tw)
+        if guided
+        else jnp.zeros((4, 8, 128), jnp.float32)
+    )
+
+    kernel = functools.partial(
+        _bilateral_kernel,
+        radius=r,
+        th=th,
+        tw=tw,
+        rh=rh,
+        lh=lh,
+        inv_ss2=1.0 / (params.sigma_spatial**2),
+        inv2sc=0.5 / (params.sigma_color**2),
+        blue_bug=params.blue_bug,
+        guided=guided,
+        fuse_normalize=fuse_normalize,
+    )
+    tile_shape = (4, th + 2 * rh, tw + 2 * lh)
+    n_taps = (2 * r + 1) ** 2
+    wc, nw = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((4, th, tw), lambda i, j: (0, i, j)),
+            pl.BlockSpec((1, th, tw), lambda i, j: (0, i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((1, h, w), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(tile_shape, jnp.float32),
+            pltpu.VMEM(tile_shape if guided else (4, 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=n_taps * 16 * h * w,
+            bytes_accessed=4 * h * w * 4 * (3 if guided else 2),
+            transcendentals=n_taps * h * w,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_use_interpret(),
+    )(padded, padded_g)
+    return wc, nw
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def bilateral(
+    img: jnp.ndarray,
+    params: BilateralParams = BilateralParams(),
+    tiling: Optional[TilingConfig] = None,
+) -> jnp.ndarray:
+    """Bilateral filter, tiled-layout Pallas kernel (shaders/bialteral.comp).
+
+    img: (H, W, 4) float32. Returns the filtered (H, W, 4) image (the
+    normalization is fused -- the reference's plain-bilateral path also
+    normalizes in-kernel, bialteral.comp:72).
+    """
+    out, _ = _bilateral_planar(_to_planar(img), None, params, tiling, True)
+    return _from_planar(out)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def cross_bilateral_layers(
+    target: jnp.ndarray,
+    layer: jnp.ndarray,
+    params: LayersParams = LayersParams(),
+    tiling: Optional[TilingConfig] = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One layer's cross-bilateral accumulation partials
+    (shaders/bialteral_layers.comp): weights from `layer` (the G-buffer guide),
+    colors from `target`. Returns (weightColor (H,W,4), normWeight (H,W))."""
+    wc, nw = _bilateral_planar(
+        _to_planar(target), _to_planar(layer), params, tiling, False
+    )
+    return _from_planar(wc), nw[0]
+
+
+# ---------------------------------------------------------------------------
+# Non-local means (shaders/nonlocal.comp)
+# ---------------------------------------------------------------------------
+
+
+def _nlm_kernel(
+    tgt_hbm,
+    nbr_hbm,
+    out_wc_ref,
+    out_nw_ref,
+    tgt_tile,
+    nbr_tile,
+    sem,
+    *,
+    s: int,
+    p: int,
+    th: int,
+    tw: int,
+    rht: int,
+    lht: int,
+    rhn: int,
+    lhn: int,
+    inv_h2: float,
+    norm_seed: float,
+):
+    halo = s + p
+    i, j = pl.program_id(0), pl.program_id(1)
+    cpt = pltpu.make_async_copy(
+        tgt_hbm.at[:, pl.ds(i * th, th + 2 * rht), pl.ds(j * tw, tw + 2 * lht)],
+        tgt_tile,
+        sem.at[0],
+    )
+    cpn = pltpu.make_async_copy(
+        nbr_hbm.at[:, pl.ds(i * th, th + 2 * rhn), pl.ds(j * tw, tw + 2 * lhn)],
+        nbr_tile,
+        sem.at[1],
+    )
+    cpt.start()
+    cpn.start()
+    cpt.wait()
+    cpn.wait()
+
+    # E (per-pixel squared diff) region: (eh, ew) starting at tile-relative
+    # (-p, -p). In target scratch coords that's (rht - p, lht - p); in the
+    # *rolled* neighbour value at search step sdy it starts at row
+    # (rhn - halo), lane (lhn - halo) + sdx (see ops/xla.py:nlm_xla for the
+    # index derivation; the roll-carry absorbs sdy).
+    eh, ew = th + 2 * p - 1, tw + 2 * p - 1
+    t0 = tgt_tile[0, rht - p : rht - p + eh, lht - p : lht - p + ew]
+    t1 = tgt_tile[1, rht - p : rht - p + eh, lht - p : lht - p + ew]
+    t2 = tgt_tile[2, rht - p : rht - p + eh, lht - p : lht - p + ew]
+
+    erow = rhn - halo
+    ecol = lhn - halo
+    trow = rhn - s  # tap center row: erow + p
+    tcol = lhn - s
+
+    def row_body(sdy, carry):
+        wc0, wc1, wc2, wc3, nw = carry[:5]
+        vn = carry[5:]  # neighbour planes, rolled up sdy rows
+        for sdx in range(2 * s):
+            c0 = ecol + sdx
+            n0 = vn[0][erow : erow + eh, c0 : c0 + ew]
+            n1 = vn[1][erow : erow + eh, c0 : c0 + ew]
+            n2 = vn[2][erow : erow + eh, c0 : c0 + ew]
+            d0 = t0 - n0
+            d1 = t1 - n1
+            d2 = t2 - n2
+            e = d0 * d0 + d1 * d1 + d2 * d2
+            # Separable 2p x 2p box sum of e -> patch SSD per tile pixel.
+            rs = e[:, 0:tw]
+            for b in range(1, 2 * p):
+                rs = rs + e[:, b : b + tw]
+            ssd = rs[0:th]
+            for a in range(1, 2 * p):
+                ssd = ssd + rs[a : a + th]
+            wgt = jnp.exp(ssd * jnp.float32(-inv_h2))
+            tc = tcol + sdx
+            c0v = vn[0][trow : trow + th, tc : tc + tw]
+            c1v = vn[1][trow : trow + th, tc : tc + tw]
+            c2v = vn[2][trow : trow + th, tc : tc + tw]
+            c3v = vn[3][trow : trow + th, tc : tc + tw]
+            wc0 = wc0 + c0v * wgt
+            wc1 = wc1 + c1v * wgt
+            wc2 = wc2 + c2v * wgt
+            wc3 = wc3 + c3v * wgt
+            nw = nw + wgt
+        rolled = tuple(_roll_up(v) for v in vn)
+        return (wc0, wc1, wc2, wc3, nw, *rolled)
+
+    zero = jnp.zeros((th, tw), jnp.float32)
+    seed = jnp.full((th, tw), norm_seed, jnp.float32)
+    init = (zero, zero, zero, zero, seed, *(nbr_tile[c] for c in range(4)))
+    out = jax.lax.fori_loop(0, 2 * s, row_body, init)
+    wc0, wc1, wc2, wc3, nw = out[:5]
+    out_wc_ref[0] = wc0
+    out_wc_ref[1] = wc1
+    out_wc_ref[2] = wc2
+    out_wc_ref[3] = wc3
+    out_nw_ref[0] = nw
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def nlm_accumulate(
+    target: jnp.ndarray,
+    neighbour: jnp.ndarray,
+    params: NlmParams = NlmParams(),
+    tiling: Optional[TilingConfig] = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One frame's NLM accumulation (shaders/nonlocal.comp:30-65).
+
+    Returns (weightColor (H,W,4), normWeight (H,W)); normWeight is seeded with
+    params.norm_seed for this frame (nonlocal.comp:32). Sum partials across
+    frames and finish with normalize() for temporal multiframe NLM.
+    """
+    tgt = _to_planar(target)
+    nbr = _to_planar(neighbour)
+    _, h, w = tgt.shape
+    s, p = params.search_radius, params.patch_radius
+    halo = s + p
+    rht, lht = _halos(p)
+    rhn, lhn = _halos(halo)
+    th, tw = _pick_tile(h, w, tiling)
+    grid = (pl.cdiv(h, th), pl.cdiv(w, tw))
+    padded_t = _pad_planar(tgt, rht, lht, params.border, grid[0], th, grid[1], tw)
+    padded_n = _pad_planar(nbr, rhn, lhn, params.border, grid[0], th, grid[1], tw)
+
+    kernel = functools.partial(
+        _nlm_kernel,
+        s=s,
+        p=p,
+        th=th,
+        tw=tw,
+        rht=rht,
+        lht=lht,
+        rhn=rhn,
+        lhn=lhn,
+        inv_h2=1.0 / (params.h**2),
+        norm_seed=params.norm_seed,
+    )
+    n_offsets = (2 * s) ** 2
+    wc, nw = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((4, th, tw), lambda i, j: (0, i, j)),
+            pl.BlockSpec((1, th, tw), lambda i, j: (0, i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((1, h, w), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((4, th + 2 * rht, tw + 2 * lht), jnp.float32),
+            pltpu.VMEM((4, th + 2 * rhn, tw + 2 * lhn), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=n_offsets * 30 * h * w,
+            bytes_accessed=4 * h * w * 4 * 3,
+            transcendentals=n_offsets * h * w,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_use_interpret(),
+    )(padded_t, padded_n)
+    return _from_planar(wc), nw[0]
+
+
+# ---------------------------------------------------------------------------
+# Normalize (shaders/normalize.comp)
+# ---------------------------------------------------------------------------
+
+
+def _normalize_kernel(wc_ref, nw_ref, out_ref, *, sentinel):
+    nw = nw_ref[0]
+    zero = nw == 0.0
+    inv = 1.0 / jnp.where(zero, 1.0, nw)
+    for c in range(4):
+        out_ref[c] = jnp.where(zero, jnp.float32(sentinel[c]), wc_ref[c] * inv)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def normalize(
+    weight_color: jnp.ndarray,
+    norm: jnp.ndarray,
+    params: NormalizeParams = NormalizeParams(),
+    tiling: Optional[TilingConfig] = None,
+) -> jnp.ndarray:
+    """Normalization pass (shaders/normalize.comp:30-44): out = wc / nw with a
+    magenta sentinel where nw == 0. weight_color: (H,W,4); norm: (H,W)."""
+    wc = _to_planar(weight_color)
+    h, w = norm.shape
+    th, tw = _pick_tile(h, w, tiling)
+    grid = (pl.cdiv(h, th), pl.cdiv(w, tw))
+    kernel = functools.partial(
+        _normalize_kernel,
+        sentinel=(params.sentinel_r, params.sentinel_g, params.sentinel_b, params.sentinel_a),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((4, th, tw), lambda i, j: (0, i, j)),
+            pl.BlockSpec((1, th, tw), lambda i, j: (0, i, j)),
+        ],
+        out_specs=pl.BlockSpec((4, th, tw), lambda i, j: (0, i, j)),
+        out_shape=jax.ShapeDtypeStruct((4, h, w), jnp.float32),
+        interpret=_use_interpret(),
+    )(wc, norm[None].astype(jnp.float32))
+    return _from_planar(out)

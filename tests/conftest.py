@@ -8,13 +8,20 @@ anywhere, hence this conftest.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # override axon/tpu: tests use the fake mesh
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("IDF_NO_PROGRESS", "1")
+
+# The axon sitecustomize calls jax.config.update("jax_platforms", "axon,cpu")
+# at interpreter start, which overrides JAX_PLATFORMS; force it back so tests
+# never touch the real chip (and don't pay the remote handshake).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,149 @@
+"""Pallas and XLA kernel tests vs the NumPy oracles.
+
+Pallas kernels run in interpret mode on the CPU backend (conftest forces
+JAX_PLATFORMS=cpu); the same code compiles via Mosaic on a real TPU (exercised
+by bench.py and tools/tpu_check.py). Interpret mode executes op-by-op, so these
+tests use small images and radii -- the kernel math is radius-agnostic.
+"""
+
+import numpy as np
+import pytest
+
+from image_denoising_filter_tpu.config import (
+    BilateralParams,
+    BorderPolicy,
+    LayersParams,
+    NlmParams,
+    TilingConfig,
+)
+from image_denoising_filter_tpu.ops import (
+    bilateral,
+    bilateral_xla,
+    cross_bilateral_layers,
+    cross_bilateral_layers_xla,
+    nlm_accumulate,
+    nlm_xla,
+    normalize,
+    normalize_xla,
+)
+from image_denoising_filter_tpu.ops import reference as ref
+
+BP = BilateralParams(radius=3)
+NP_ = NlmParams(search_radius=2, patch_radius=1)
+LP = LayersParams(radius=3)
+
+
+def _image(rng, h=24, w=32):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = np.stack(
+        [
+            0.5 + 0.4 * np.sin(xx / 5.0),
+            0.5 + 0.4 * np.cos(yy / 4.0),
+            np.where(xx > w / 2, 0.8, 0.2).astype(np.float32),
+            np.ones((h, w), np.float32),
+        ],
+        axis=-1,
+    )
+    return np.clip(base + rng.normal(0, 0.05, base.shape), 0, 1).astype(np.float32)
+
+
+@pytest.fixture
+def img(rng):
+    return _image(rng)
+
+
+@pytest.fixture
+def img2(rng):
+    return _image(np.random.default_rng(99))
+
+
+@pytest.mark.parametrize("impl", [bilateral, bilateral_xla])
+def test_bilateral_matches_oracle(img, impl):
+    got = np.asarray(impl(img, BP))
+    want = ref.bilateral_reference(img, BP)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_bilateral_zero_border(img):
+    p = BilateralParams(radius=3, border=BorderPolicy.ZERO)
+    got = np.asarray(bilateral(img, p))
+    want = ref.bilateral_reference(img, p)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_bilateral_blue_bug(img):
+    p = BilateralParams(radius=3, blue_bug=True)
+    got = np.asarray(bilateral(img, p))
+    want = ref.bilateral_reference(img, p)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_bilateral_tiling_and_partial_tiles(rng):
+    """Halo tiling property: tile size must not change the result, including
+    partial edge tiles (29 rows with 8/16-row tiles)."""
+    img = _image(rng, h=29, w=32)
+    want = ref.bilateral_reference(img, BP)
+    for th in (8, 16, 32):
+        got = np.asarray(bilateral(img, BP, TilingConfig(tile_h=th, tile_w=128)))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5, err_msg=f"tile_h={th}")
+
+
+@pytest.mark.parametrize("impl", [cross_bilateral_layers, cross_bilateral_layers_xla])
+def test_layers_matches_oracle(img, img2, impl):
+    wc, nw = impl(img, img2, LP)
+    wwc, wnw = ref.cross_bilateral_layers_reference(img, img2, LP)
+    np.testing.assert_allclose(np.asarray(wc), wwc, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nw), wnw, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", [nlm_accumulate, nlm_xla])
+def test_nlm_matches_oracle(img, img2, impl):
+    wc, nw = impl(img, img2, NP_)
+    wwc, wnw = ref.nlm_reference(img, img2, NP_)
+    np.testing.assert_allclose(np.asarray(wc), wwc, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nw), wnw, rtol=1e-4, atol=1e-5)
+
+
+def test_nlm_full_reference_params_xla(img, img2):
+    """Full reference NLM params (s=7, p=3, h=0.5) -- XLA path (the Pallas path
+    with full params is covered on real TPU by bench/tpu_check)."""
+    p = NlmParams()
+    wc, nw = nlm_xla(img, img2, p)
+    wwc, wnw = ref.nlm_reference(img, img2, p)
+    np.testing.assert_allclose(np.asarray(wc), wwc, rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(nw), wnw, rtol=2e-4, atol=1e-4)
+
+
+def test_nlm_identical_frames_peak_weight(img):
+    """NLM of a frame against itself: the zero-offset candidate has SSD 0 =>
+    weight exactly 1 at every pixel, so norm >= 1 + seed."""
+    _, nw = nlm_xla(img, img, NP_)
+    assert np.all(np.asarray(nw) >= 1.0 + NP_.norm_seed - 1e-6)
+
+
+@pytest.mark.parametrize("impl", [normalize, normalize_xla])
+def test_normalize_matches_oracle(rng, impl):
+    wc = rng.uniform(0, 5, (24, 32, 4)).astype(np.float32)
+    nw = rng.uniform(0.5, 3, (24, 32)).astype(np.float32)
+    nw[3, 5] = 0.0  # sentinel pixel
+    got = np.asarray(impl(wc, nw))
+    want = ref.normalize_reference(wc, nw)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    np.testing.assert_allclose(got[3, 5], [1.0, 0.0, 1.0, 1.0])
+
+
+def test_two_pass_equals_fused(img):
+    """layers partials + normalize == bilateral with guide==image: with
+    layer == target the cross-bilateral degenerates to the plain bilateral."""
+    wc, nw = cross_bilateral_layers_xla(img, img, LP)
+    two_pass = np.asarray(normalize_xla(wc, nw))
+    fused = np.asarray(bilateral_xla(img, BP))
+    np.testing.assert_allclose(two_pass, fused, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_vs_xla_agree(img):
+    """The tiled (Pallas) and linear (XLA) layout variants must agree, like the
+    reference's bialteral.comp vs bialteral_linear.comp."""
+    a = np.asarray(bilateral(img, BP))
+    b = np.asarray(bilateral_xla(img, BP))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

@@ -1,0 +1,76 @@
+"""On-chip validation + microbenchmark of the Pallas kernels with full
+reference parameters (radius-20 bilateral, s=7/p=3 NLM).
+
+Run directly on a machine with a TPU attached (no pytest conftest, so the axon
+backend stays active):  python tools/tpu_check.py [--size 1080p|4k|small]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="small", choices=["small", "1080p", "4k"])
+    ap.add_argument("--check", action="store_true", help="compare vs NumPy oracle")
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+
+    print("backend:", jax.default_backend(), jax.devices())
+
+    from image_denoising_filter_tpu.config import BilateralParams, NlmParams
+    from image_denoising_filter_tpu.ops import bilateral, nlm_accumulate, normalize
+    from image_denoising_filter_tpu.ops import reference as ref
+
+    shapes = {"small": (96, 128), "1080p": (1080, 1920), "4k": (2160, 3840)}
+    h, w = shapes[args.size]
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (h, w, 4)).astype(np.float32)
+    img2 = rng.uniform(0, 1, (h, w, 4)).astype(np.float32)
+
+    bp = BilateralParams()  # radius 20, the reference GPU params
+    nlp = NlmParams()  # s=7, p=3, h=0.5
+
+    import jax.numpy as jnp
+
+    def timeit(name, fn, *xs):
+        # NOTE: through the axon tunnel, block_until_ready on the output handle
+        # does not wait for device execution; a scalar reduction + host float()
+        # is the reliable execution fence (4-byte transfer).
+        fence = jax.jit(lambda *a: jnp.sum(fn(*a)[0, 0]))
+        float(fence(*xs))  # compile
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            float(fence(*xs))
+        dt = (time.perf_counter() - t0) / args.iters
+        mpix = h * w / dt / 1e6
+        print(f"{name:28s} {dt * 1e3:9.3f} ms   {mpix:10.1f} Mpix/s")
+        return fn(*xs)
+
+    dimg = jax.device_put(img)
+    dimg2 = jax.device_put(img2)
+
+    out_b = timeit("bilateral r=20 (pallas)", lambda x: bilateral(x, bp), dimg)
+    out_n = timeit(
+        "nlm s=7 p=3 (pallas)", lambda a, b: nlm_accumulate(a, b, nlp)[0], dimg, dimg2
+    )
+
+    if args.check:
+        want = ref.bilateral_reference(img, bp)
+        err = np.abs(np.asarray(out_b) - want).max()
+        ps = ref.psnr(np.asarray(out_b), want)
+        print(f"bilateral vs oracle: maxerr={err:.3e} psnr={ps:.1f} dB")
+        wwc, wnw = ref.nlm_reference(img, img2, nlp)
+        got_n = np.asarray(out_n)
+        err = np.abs(got_n - wwc).max() / max(1.0, np.abs(wwc).max())
+        print(f"nlm wc vs oracle: relerr={err:.3e}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
