@@ -1,0 +1,94 @@
+"""Benchmark: exact Pallas kernels with full reference parameters on the
+attached TPU chip. Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+Targets (BASELINE.json): bilateral >= 5000 Mpix/s, NLM >= 500 Mpix/s per v5e
+chip at 4K; >= 59 dB PSNR parity vs the CPU bilateral reference. vs_baseline is
+the geometric mean of the two throughput ratios (1.0 == both targets met).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from image_denoising_filter_tpu.utils import compile_cache
+
+    compile_cache.enable()
+
+    from image_denoising_filter_tpu.config import (
+        BilateralParams,
+        CpuBilateralParams,
+        NlmParams,
+    )
+    from image_denoising_filter_tpu.ops import bilateral, nlm_accumulate
+    from image_denoising_filter_tpu.ops import reference as ref
+
+    h, w = 2160, 3840  # 4K
+    rng = np.random.default_rng(0)
+    img = jax.device_put(rng.uniform(0, 1, (h, w, 4)).astype(np.float32))
+    img2 = jax.device_put(rng.uniform(0, 1, (h, w, 4)).astype(np.float32))
+
+    bp = BilateralParams()  # radius 20 (reference GPU params)
+    nlp = NlmParams()  # s=7 p=3 h=0.5
+
+    import jax.numpy as jnp
+
+    def timeit(fn, args, iters=3):
+        fence = jax.jit(lambda *a: jnp.sum(fn(*a)[0, 0]))
+        float(fence(*args))  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            float(fence(*args))
+        return (time.perf_counter() - t0) / iters
+
+    dt_b = timeit(lambda x: bilateral(x, bp), (img,))
+    dt_n = timeit(lambda a, b: nlm_accumulate(a, b, nlp)[0], (img, img2))
+    mpix_b = h * w / dt_b / 1e6
+    mpix_n = h * w / dt_n / 1e6
+
+    # PSNR parity: our kernel in CPU-reference-params mode vs the CPU oracle
+    # (interior only -- the CPU path zeroes a radius-wide border,
+    # src/main.cpp:1823-1828).
+    cp = CpuBilateralParams()
+    small = np.asarray(rng.uniform(0, 1, (96, 128, 4)), np.float32)
+    kernel_params = BilateralParams(
+        radius=cp.radius,
+        sigma_spatial=cp.sigma_spatial,
+        sigma_color=cp.sigma_color,
+        blue_bug=cp.blue_bug,
+    )
+    got = np.asarray(bilateral(jax.device_put(small), kernel_params))
+    want = ref.cpu_bilateral_reference(small, cp)
+    r = cp.radius
+    interior = (slice(r, -r), slice(r, -r), slice(0, 3))
+    psnr = ref.psnr(got[interior], want[interior])
+
+    ratio_b = mpix_b / 5000.0
+    ratio_n = mpix_n / 500.0
+    vs_baseline = math.sqrt(ratio_b * ratio_n)
+
+    print(
+        json.dumps(
+            {
+                "metric": "4K exact-kernel throughput, geomean of bilateral/5Gpix + NLM/0.5Gpix targets",
+                "value": round(vs_baseline, 4),
+                "unit": "x-target",
+                "vs_baseline": round(vs_baseline, 4),
+                "bilateral_4k_mpix_s": round(mpix_b, 1),
+                "nlm_4k_mpix_s": round(mpix_n, 1),
+                "psnr_parity_db": round(psnr, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""CLI driver: runs the reference's fixed battery of configurations.
+
+`tpu-denoise [image-path]` mirrors `main()` (src/main.cpp:1935-1994): six GPU
+configurations in fixed order, each printing its transfer/exec timing, then the
+CPU bilateral with 1 and 8 threads printing wall-clock seconds. Output files
+use the reference's flag-encoded names (src/main.cpp:1677-1682).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .config import GPU_BATTERY, RunConfig
+from .runtime.session import Session
+from .utils.timing import Timer, print_cpu_time
+
+DEFAULT_IMAGE = "Animations/CornellBox/Animation01_LDR_0000.png"
+
+_CONFIG_BANNERS = {
+    # main.cpp:1952-1972 banners, modernized
+    (False, False, False, False, False): "bilateral filter (tiled layout)",
+    (False, False, False, False, True): "bilateral filter using layers",
+    (False, True, False, False, False): "bilateral filter (linear layout)",
+    (True, False, False, False, False): "non-local means filter",
+    (True, False, True, False, False): "multiframe non-local means filter",
+    (True, False, True, True, False): "multiframe NLM with copy/compute overlap",
+}
+
+
+def _banner(cfg: RunConfig) -> str:
+    key = (cfg.nlm, cfg.linear, cfg.multiframe, cfg.overlap, cfg.use_layers)
+    return _CONFIG_BANNERS.get(key, str(cfg))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="tpu-denoise",
+        description="TPU-native image denoising battery "
+        "(bilateral / layer-guided / temporal NLM)",
+    )
+    ap.add_argument("image", nargs="?", default=DEFAULT_IMAGE, help="target image path")
+    ap.add_argument("--output-dir", default=".", help="where output-*.png/.exr go")
+    ap.add_argument(
+        "--configs",
+        default="all",
+        help="comma list from: bilateral,layers,linear,nlm,multiframe,overlap,cpu1,cpu8 "
+        "(default: all)",
+    )
+    ap.add_argument(
+        "--clamp", action="store_true",
+        help="saturating LDR quantization instead of the reference's wrapping cast",
+    )
+    args = ap.parse_args(argv)
+
+    from .utils import compile_cache
+
+    compile_cache.enable()
+
+    sel = args.configs.split(",") if args.configs != "all" else [
+        "bilateral", "layers", "linear", "nlm", "multiframe", "overlap", "cpu1", "cpu8"
+    ]
+    key_of = ["bilateral", "layers", "linear", "nlm", "multiframe", "overlap"]
+
+    try:
+        session = Session(
+            args.image, output_dir=args.output_dir, clamp_output=args.clamp
+        )
+        for cfg, key in zip(GPU_BATTERY, key_of):
+            if key not in sel:
+                continue
+            print(f"<<<--- {_banner(cfg)} --->>>")
+            result = session.run(cfg)
+            print(f"\toutput: {result.output_path}")
+            result.report.print()
+
+        for key, threads in (("cpu1", 1), ("cpu8", 8)):
+            if key not in sel:
+                continue
+            print(f"<<<--- bilateral filter on cpu ({threads} thread{'s' if threads > 1 else ''}) --->>>")
+            timer = Timer()
+            path, _ = session.run_cpu(threads)
+            print(f"\toutput: {path}")
+            print_cpu_time(timer)
+    except Exception as e:  # main.cpp:1948-1991 catches and reports
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,208 @@
+"""Spatial (row) sharding with ICI halo exchange, and frame-level DP.
+
+The stencil analog of sequence parallelism: the image's H axis is sharded over
+the mesh's 'y' axis; each shard needs `halo` rows from its neighbors before
+filtering (the ring-attention-style neighbor exchange, SURVEY.md section 5).
+Halo strips move with `jax.lax.ppermute` (XLA lowers these to ICI
+collective-permutes on TPU); the outermost shards synthesize their missing halo
+per the border policy (clamp-edge replication / zeros).
+
+Each shard then runs the *local* Pallas kernel on its (halo + rows + halo)
+extension and crops the center back out -- provably identical to filtering the
+unsharded image, which tests/test_sharding.py asserts against the oracles.
+
+Temporal NLM adds frame-level data parallelism: frames are sharded over the
+'frame' mesh axis, each device accumulates partials for its local frames, and
+a `psum` over 'frame' reduces the (weightColor, normWeight) accumulators --
+the multi-chip form of the reference's weights-buffer `+=` across dispatches
+(shaders/nonlocal.comp:61-62).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import (
+    BilateralParams,
+    BorderPolicy,
+    LayersParams,
+    NlmParams,
+    NormalizeParams,
+    TilingConfig,
+)
+from .. import ops
+from .mesh import FRAME_AXIS, SPATIAL_AXIS
+
+
+def _exchange_halo(local: jnp.ndarray, halo: int, border: str, axis: str) -> jnp.ndarray:
+    """Extend a row-shard with `halo` rows from each neighbor over ICI.
+
+    local: (rows, W, 4) this shard's rows. Returns (rows + 2*halo, W, 4).
+    """
+    n = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+
+    # Shard i's top halo is the *bottom* rows of shard i-1; its bottom halo is
+    # the top rows of shard i+1.
+    bottom_rows = local[-halo:]
+    top_rows = local[:halo]
+    from_above = jax.lax.ppermute(
+        bottom_rows, axis, [(i, i + 1) for i in range(n - 1)]
+    )
+    from_below = jax.lax.ppermute(
+        top_rows, axis, [(i + 1, i) for i in range(n - 1)]
+    )
+
+    if border == BorderPolicy.CLAMP:
+        edge_top = jnp.repeat(local[:1], halo, axis=0)
+        edge_bottom = jnp.repeat(local[-1:], halo, axis=0)
+    else:
+        edge_top = jnp.zeros_like(top_rows)
+        edge_bottom = jnp.zeros_like(bottom_rows)
+
+    top = jnp.where(idx == 0, edge_top, from_above)
+    bottom = jnp.where(idx == n - 1, edge_bottom, from_below)
+    return jnp.concatenate([top, local, bottom], axis=0)
+
+
+def _row_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(None, SPATIAL_AXIS))
+
+
+def spatial_bilateral(
+    img: jnp.ndarray,
+    params: BilateralParams = BilateralParams(),
+    mesh: Optional[Mesh] = None,
+    tiling: Optional[TilingConfig] = None,
+) -> jnp.ndarray:
+    """Bilateral filter with H sharded over the mesh's 'y' axis.
+
+    img: (H, W, 4) with H divisible by the 'y' axis size. The local kernel runs
+    on the halo-extended shard and the center is cropped back -- identical
+    output to the single-chip kernel.
+    """
+    halo = params.radius
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        check_vma=False,  # pallas_call outputs don't carry vma metadata
+        in_specs=P(SPATIAL_AXIS, None, None),
+        out_specs=P(SPATIAL_AXIS, None, None),
+    )
+    def run(local):
+        rows = local.shape[0]
+        ext = _exchange_halo(local, halo, params.border, SPATIAL_AXIS)
+        out = ops.bilateral(ext, params, tiling)
+        return out[halo : halo + rows]
+
+    return run(img)
+
+
+def spatial_nlm_accumulate(
+    target: jnp.ndarray,
+    neighbour: jnp.ndarray,
+    params: NlmParams = NlmParams(),
+    mesh: Optional[Mesh] = None,
+    tiling: Optional[TilingConfig] = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One frame's NLM partials with H sharded over 'y'."""
+    halo = params.search_radius + params.patch_radius
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        check_vma=False,  # pallas_call outputs don't carry vma metadata
+        in_specs=(P(SPATIAL_AXIS, None, None), P(SPATIAL_AXIS, None, None)),
+        out_specs=(P(SPATIAL_AXIS, None, None), P(SPATIAL_AXIS, None)),
+    )
+    def run(t_local, n_local):
+        rows = t_local.shape[0]
+        t_ext = _exchange_halo(t_local, halo, params.border, SPATIAL_AXIS)
+        n_ext = _exchange_halo(n_local, halo, params.border, SPATIAL_AXIS)
+        wc, nw = ops.nlm_accumulate(t_ext, n_ext, params, tiling)
+        return wc[halo : halo + rows], nw[halo : halo + rows]
+
+    return run(target, neighbour)
+
+
+def spatial_cross_bilateral_layers(
+    target: jnp.ndarray,
+    layer: jnp.ndarray,
+    params: LayersParams = LayersParams(),
+    mesh: Optional[Mesh] = None,
+    tiling: Optional[TilingConfig] = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One layer's cross-bilateral partials with H sharded over 'y'."""
+    halo = params.radius
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        check_vma=False,  # pallas_call outputs don't carry vma metadata
+        in_specs=(P(SPATIAL_AXIS, None, None), P(SPATIAL_AXIS, None, None)),
+        out_specs=(P(SPATIAL_AXIS, None, None), P(SPATIAL_AXIS, None)),
+    )
+    def run(t_local, l_local):
+        rows = t_local.shape[0]
+        t_ext = _exchange_halo(t_local, halo, params.border, SPATIAL_AXIS)
+        l_ext = _exchange_halo(l_local, halo, params.border, SPATIAL_AXIS)
+        wc, nw = ops.cross_bilateral_layers(t_ext, l_ext, params, tiling)
+        return wc[halo : halo + rows], nw[halo : halo + rows]
+
+    return run(target, layer)
+
+
+def temporal_nlm_sharded(
+    target: jnp.ndarray,
+    frames: jnp.ndarray,
+    params: NlmParams = NlmParams(),
+    norm_params: NormalizeParams = NormalizeParams(),
+    mesh: Optional[Mesh] = None,
+    tiling: Optional[TilingConfig] = None,
+) -> jnp.ndarray:
+    """Full multichip temporal NLM: frames sharded over 'frame' (DP), rows
+    over 'y' (spatial), weight partials psum'd over 'frame', then normalized.
+
+    target: (H, W, 4) replicated over 'frame'; frames: (F, H, W, 4) with F
+    divisible by the 'frame' axis size and H by the 'y' axis size.
+    """
+    halo = params.search_radius + params.patch_radius
+    # Each frame contributes norm_seed once (shaders/nonlocal.comp:32); the
+    # per-device kernel seeds its local frames, and psum adds them up -- same
+    # total seed F * norm_seed as the sequential reference loop.
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        check_vma=False,  # pallas_call outputs don't carry vma metadata
+        in_specs=(P(SPATIAL_AXIS, None, None), P(FRAME_AXIS, SPATIAL_AXIS, None, None)),
+        out_specs=P(SPATIAL_AXIS, None, None),
+    )
+    def run(t_local, frames_local):
+        rows = t_local.shape[0]
+        t_ext = _exchange_halo(t_local, halo, params.border, SPATIAL_AXIS)
+
+        def body(carry, frame):
+            wc, nw = carry
+            f_ext = _exchange_halo(frame, halo, params.border, SPATIAL_AXIS)
+            pwc, pnw = ops.nlm_accumulate(t_ext, f_ext, params, tiling)
+            return (wc + pwc, nw + pnw), None
+
+        ext_rows = rows + 2 * halo
+        init = (
+            jnp.zeros((ext_rows, t_local.shape[1], 4), jnp.float32),
+            jnp.zeros((ext_rows, t_local.shape[1]), jnp.float32),
+        )
+        (wc, nw), _ = jax.lax.scan(body, init, frames_local)
+        wc = jax.lax.psum(wc, FRAME_AXIS)
+        nw = jax.lax.psum(nw, FRAME_AXIS)
+        out = ops.normalize(wc, nw, norm_params)
+        return out[halo : halo + rows]
+
+    return run(target, frames)

@@ -1,0 +1,231 @@
+"""Session: the orchestrator that runs one denoising configuration end-to-end.
+
+The TPU-native equivalent of `ComputeApplication::RunOnGPU`
+(src/main.cpp:1307-1730): dataset discovery -> image loading -> host->HBM
+upload -> jit-compiled kernel dispatch -> readback -> flag-encoded encode, with
+the per-run transfer/exec timing report (PRINT_TIME analog). Descriptor sets,
+pipelines and command buffers have no analog -- XLA owns binding and
+scheduling; a RunConfig maps directly onto a compiled model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    BilateralParams,
+    CpuBilateralParams,
+    LayersParams,
+    NlmParams,
+    RunConfig,
+    TilingConfig,
+)
+from ..models.denoiser import (
+    LINEAR,
+    TILED,
+    BilateralDenoiser,
+    LayerGuidedDenoiser,
+    NlmDenoiser,
+    TemporalNlmDenoiser,
+)
+from ..ops import reference as ref_ops
+from ..utils import dataset as dataset_mod
+from ..utils import imageio
+from ..utils.progress import ProgressBar
+from ..utils.timing import Timer, TimingReport, print_cpu_time
+from .prefetch import FramePrefetcher
+
+
+def _fence(x) -> None:
+    """Reliable execution fence: reduce to a scalar and pull it to host.
+
+    (Through tunneled device backends, block_until_ready on an output handle
+    can return before device execution completes; a 4-byte scalar readback
+    cannot.)"""
+    jax.block_until_ready(x)
+    np.asarray(jax.jit(lambda a: a.ravel()[0])(x))
+
+
+@dataclasses.dataclass
+class RunResult:
+    config: RunConfig
+    output_path: str
+    image: np.ndarray
+    report: TimingReport
+
+
+class Session:
+    """Runs RunConfigs against one target image (re-usable across configs,
+    like the reference app object re-running RunOnGPU)."""
+
+    def __init__(
+        self,
+        target: str,
+        bilateral_params: BilateralParams = BilateralParams(),
+        layers_params: LayersParams = LayersParams(),
+        nlm_params: NlmParams = NlmParams(),
+        tiling: Optional[TilingConfig] = None,
+        output_dir: str = ".",
+        clamp_output: bool = False,
+        warmup: bool = True,
+    ) -> None:
+        self.target = target
+        self.bilateral_params = bilateral_params
+        self.layers_params = layers_params
+        self.nlm_params = nlm_params
+        self.tiling = tiling
+        self.output_dir = output_dir
+        self.clamp_output = clamp_output
+        # Compile (jit) before the timed region, so the exec report measures
+        # steady-state device time like the reference's Vulkan timestamps
+        # (pipeline creation happens outside the query range, main.cpp:690-727).
+        self.warmup = warmup
+        self.is_hdr = imageio.is_hdr_path(target)
+        # Touch the backend so device/runtime initialization (the analog of
+        # vk_utils::CreateInstance/CreateLogicalDevice, timed *outside* the
+        # reference's query range) is not attributed to the first transfer.
+        _fence(jax.device_put(np.float32(0.0)))
+
+    # -- GPU-path equivalent ------------------------------------------------
+
+    def run(self, cfg: RunConfig) -> RunResult:
+        report = TimingReport()
+        ds = dataset_mod.discover(
+            self.target,
+            multiframe=cfg.multiframe,
+            use_layers=cfg.use_layers,
+            max_frames=cfg.max_frames,
+        )
+        target_host, _ = imageio.load(ds.target)
+
+        with report.transfer():
+            target_dev = jax.device_put(target_host)
+
+        layout = LINEAR if cfg.linear else TILED
+
+        if cfg.use_layers:
+            out_dev = self._run_layers(target_dev, ds, report, layout)
+        elif cfg.nlm and cfg.multiframe:
+            out_dev = self._run_multiframe(target_dev, ds, report, layout, cfg)
+        elif cfg.nlm:
+            model = NlmDenoiser(self.nlm_params, layout=layout, tiling=self.tiling)
+            if self.warmup:
+                _fence(model(target_dev))
+            with report.execute():
+                out_dev = model(target_dev)
+                _fence(out_dev)
+        else:
+            model = BilateralDenoiser(
+                self.bilateral_params, layout=layout, tiling=self.tiling
+            )
+            if self.warmup:
+                _fence(model(target_dev))
+            with report.execute():
+                out_dev = model(target_dev)
+                _fence(out_dev)
+
+        with report.transfer():
+            out_host = np.asarray(out_dev)
+
+        name = cfg.output_name(self.is_hdr)
+        path = os.path.join(self.output_dir, name)
+        imageio.save(path, out_host, hdr=self.is_hdr, clamp=self.clamp_output)
+        return RunResult(config=cfg, output_path=path, image=out_host, report=report)
+
+    def _run_layers(self, target_dev, ds, report, layout):
+        """Per-layer accumulate then normalize (src/main.cpp:1608-1624,
+        1649-1652). Layers are always LDR (loaded with a_isHDR=false,
+        src/main.cpp:1396)."""
+        model = LayerGuidedDenoiser(
+            self.layers_params, layout=layout, tiling=self.tiling
+        )
+        layers_host = [imageio.load(p)[0] for p in ds.layers]
+        if not layers_host:
+            # No layers found: accumulators stay zero and normalize paints the
+            # magenta sentinel everywhere, like the reference would.
+            h, w, _ = np.asarray(target_dev).shape
+            layers_host = []
+            stacked = np.zeros((0, h, w, 4), np.float32)
+        else:
+            stacked = np.stack(layers_host)
+        if stacked.shape[0] == 0:
+            from ..ops import normalize as norm_op
+
+            h, w, _ = target_dev.shape
+            with report.execute():
+                out = norm_op(
+                    jnp.zeros((h, w, 4), jnp.float32), jnp.zeros((h, w), jnp.float32)
+                )
+                _fence(out)
+            return out
+        with report.transfer():
+            layers_dev = jax.device_put(stacked)
+        if self.warmup:
+            _fence(model(target_dev, layers_dev))
+        with report.execute():
+            out = model(target_dev, layers_dev)
+            _fence(out)
+        return out
+
+    def _run_multiframe(self, target_dev, ds, report, layout, cfg):
+        """Temporal NLM over neighbor frames (src/main.cpp:1554-1624).
+
+        overlap=True streams frames through the double-buffered prefetcher
+        (upload of frame k+1 in flight under frame k's kernel -- the
+        copy/compute overlap analog); overlap=False uploads then computes
+        frame-by-frame, like the reference's non-overlapped loop.
+        """
+        model = TemporalNlmDenoiser(self.nlm_params, layout=layout, tiling=self.tiling)
+        if self.warmup:
+            warm = model.accumulate_one(target_dev, target_dev, None)
+            _fence(model.finalize(warm))
+        carry = None
+        if cfg.overlap:
+            frames = FramePrefetcher(
+                ds.frames, lambda p: imageio.load(p)[0], depth=2, report=report
+            )
+            with report.execute():
+                for frame_dev in frames:
+                    carry = model.accumulate_one(target_dev, frame_dev, carry)
+                out = model.finalize(carry)
+                _fence(out)
+        else:
+            for p in ds.frames:
+                host = imageio.load(p)[0]
+                with report.transfer():
+                    frame_dev = jax.device_put(host)
+                    jax.block_until_ready(frame_dev)
+                with report.execute():
+                    carry = model.accumulate_one(target_dev, frame_dev, carry)
+                    _fence(carry[1])
+            with report.execute():
+                out = model.finalize(carry)
+                _fence(out)
+        return out
+
+    # -- CPU-path equivalent ------------------------------------------------
+
+    def run_cpu(self, num_threads: int = 1) -> tuple[str, float]:
+        """The CPU bilateral reference (RunOnCPU, src/main.cpp:1732-1921):
+        window 10, sigma_s 10, sigma_c 0.2, blue-channel bug, zeroed border,
+        output-cpu.{png,exr}. Uses the native OpenMP oracle when built, else
+        the NumPy oracle (num_threads honored by the native path)."""
+        timer = Timer()
+        img, is_hdr = imageio.load(self.target)
+        params = CpuBilateralParams()
+        try:
+            from ..utils.native import cpu_bilateral as native_bilateral
+
+            out = native_bilateral(img, params, num_threads)
+        except (ImportError, OSError):
+            out = ref_ops.cpu_bilateral_reference(img, params)
+        name = "output-cpu" + (".exr" if is_hdr else ".png")
+        path = os.path.join(self.output_dir, name)
+        imageio.save(path, out, hdr=is_hdr, clamp=self.clamp_output)
+        return path, timer.elapsed()

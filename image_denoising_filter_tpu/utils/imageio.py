@@ -18,6 +18,44 @@ import numpy as np
 from . import exr as _exr
 from . import png as _png
 
+try:  # native C++ codecs (lodepng/tinyexr role); Python codecs are the fallback
+    from . import native as _native
+
+    _HAVE_NATIVE = _native.available()
+except Exception:  # pragma: no cover - loader edge cases
+    _native = None
+    _HAVE_NATIVE = False
+
+
+def _read_png(path: str) -> np.ndarray:
+    if _HAVE_NATIVE:
+        with open(path, "rb") as f:
+            return _native.png_decode(f.read())
+    return _png.read(path)
+
+
+def _write_png(path: str, rgba: np.ndarray) -> None:
+    if _HAVE_NATIVE:
+        with open(path, "wb") as f:
+            f.write(_native.png_encode(np.ascontiguousarray(rgba, np.uint8)))
+        return
+    _png.write(path, rgba)
+
+
+def _read_exr(path: str) -> np.ndarray:
+    if _HAVE_NATIVE:
+        with open(path, "rb") as f:
+            return _native.exr_decode(f.read())
+    return _exr.read(path)
+
+
+def _write_exr(path: str, rgba: np.ndarray) -> None:
+    if _HAVE_NATIVE:
+        with open(path, "wb") as f:
+            f.write(_native.exr_encode(np.ascontiguousarray(rgba, np.float32)))
+        return
+    _exr.write(path, rgba)
+
 
 def is_hdr_path(path: str) -> bool:
     """`.exr` extension => HDR (src/main.cpp:1380)."""
@@ -44,8 +82,8 @@ def quantize(rgba_f32: np.ndarray, clamp: bool = False) -> np.ndarray:
 def load(path: str) -> tuple[np.ndarray, bool]:
     """Load an image as float32 (H, W, 4) RGBA. Returns (image, is_hdr)."""
     if is_hdr_path(path):
-        return _exr.read(path), True
-    return to_float(_png.read(path)), False
+        return _read_exr(path), True
+    return to_float(_read_png(path)), False
 
 
 def save(path: str, rgba: np.ndarray, hdr: bool | None = None, clamp: bool = False) -> None:
@@ -53,6 +91,6 @@ def save(path: str, rgba: np.ndarray, hdr: bool | None = None, clamp: bool = Fal
     if hdr is None:
         hdr = is_hdr_path(path)
     if hdr:
-        _exr.write(path, rgba)
+        _write_exr(path, rgba)
     else:
-        _png.write(path, quantize(rgba, clamp=clamp))
+        _write_png(path, quantize(rgba, clamp=clamp))

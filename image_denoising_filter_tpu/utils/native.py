@@ -1,0 +1,170 @@
+"""ctypes bindings for the native runtime library (native/idf_native.cpp).
+
+The native library mirrors the reference's native host components: the OpenMP
+CPU bilateral (src/main.cpp:1732-1921) and the lodepng/tinyexr codec roles.
+Pure-Python implementations in utils/png.py / utils/exr.py are the behavioral
+spec; tests assert byte-for-byte agreement where formats are deterministic.
+
+Build with `make -C native`. Loading order: $IDF_NATIVE_LIB, then
+<repo>/native/libidf_native.so, then alongside this package.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import os
+
+import numpy as np
+
+from ..config import CpuBilateralParams
+
+_SEARCH = (
+    os.environ.get("IDF_NATIVE_LIB"),
+    os.path.join(os.path.dirname(__file__), "..", "..", "native", "libidf_native.so"),
+    os.path.join(os.path.dirname(__file__), "libidf_native.so"),
+)
+
+
+class NativeUnavailable(ImportError):
+    pass
+
+
+@functools.lru_cache(maxsize=1)
+def _lib() -> ctypes.CDLL:
+    for path in _SEARCH:
+        if path and os.path.exists(path):
+            lib = ctypes.CDLL(path)
+            break
+    else:
+        raise NativeUnavailable(
+            "libidf_native.so not built (run `make -C native`)"
+        )
+
+    lib.idf_free.argtypes = [ctypes.c_void_p]
+    lib.idf_cpu_bilateral.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.idf_png_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.idf_png_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_size_t),
+    ]
+    lib.idf_exr_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.idf_exr_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_size_t),
+    ]
+    lib.idf_num_threads.restype = ctypes.c_int
+    return lib
+
+
+def available() -> bool:
+    try:
+        _lib()
+        return True
+    except NativeUnavailable:
+        return False
+
+
+def cpu_bilateral(
+    img: np.ndarray, params: CpuBilateralParams | None = None, num_threads: int = 1
+) -> np.ndarray:
+    """OpenMP CPU bilateral oracle (RunOnCPU analog). img: (H, W, 4) float32."""
+    if params is None:
+        params = CpuBilateralParams()
+    lib = _lib()
+    img = np.ascontiguousarray(img, np.float32)
+    h, w, _ = img.shape
+    out = np.empty_like(img)
+    lib.idf_cpu_bilateral(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        h, w, params.radius,
+        params.sigma_spatial, params.sigma_color,
+        int(params.blue_bug), int(params.skip_border),
+        int(params.force_alpha_one), num_threads,
+    )
+    return out
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    lib = _lib()
+    buf = ctypes.POINTER(ctypes.c_uint8)()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.idf_png_decode(data, len(data), ctypes.byref(buf), ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        raise ValueError(f"native png decode failed (code {rc})")
+    try:
+        arr = np.ctypeslib.as_array(buf, shape=(h.value, w.value, 4)).copy()
+    finally:
+        lib.idf_free(buf)
+    return arr
+
+
+def png_encode(rgba: np.ndarray, level: int = 6) -> bytes:
+    lib = _lib()
+    rgba = np.ascontiguousarray(rgba, np.uint8)
+    h, w, _ = rgba.shape
+    buf = ctypes.POINTER(ctypes.c_uint8)()
+    size = ctypes.c_size_t()
+    rc = lib.idf_png_encode(
+        rgba.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h, level,
+        ctypes.byref(buf), ctypes.byref(size),
+    )
+    if rc != 0:
+        raise ValueError(f"native png encode failed (code {rc})")
+    try:
+        out = ctypes.string_at(buf, size.value)
+    finally:
+        lib.idf_free(buf)
+    return out
+
+
+def exr_decode(data: bytes) -> np.ndarray:
+    lib = _lib()
+    buf = ctypes.POINTER(ctypes.c_float)()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.idf_exr_decode(data, len(data), ctypes.byref(buf), ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        raise ValueError(f"native exr decode failed (code {rc})")
+    try:
+        arr = np.ctypeslib.as_array(buf, shape=(h.value, w.value, 4)).copy()
+    finally:
+        lib.idf_free(buf)
+    return arr
+
+
+def exr_encode(rgba: np.ndarray, half: bool = False, compression: int = 3) -> bytes:
+    lib = _lib()
+    rgba = np.ascontiguousarray(rgba, np.float32)
+    h, w, _ = rgba.shape
+    buf = ctypes.POINTER(ctypes.c_uint8)()
+    size = ctypes.c_size_t()
+    rc = lib.idf_exr_encode(
+        rgba.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), w, h,
+        int(half), compression, ctypes.byref(buf), ctypes.byref(size),
+    )
+    if rc != 0:
+        raise ValueError(f"native exr encode failed (code {rc})")
+    try:
+        out = ctypes.string_at(buf, size.value)
+    finally:
+        lib.idf_free(buf)
+    return out

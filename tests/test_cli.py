@@ -1,0 +1,32 @@
+"""CLI battery smoke test (linear + CPU configs; the Pallas configs are covered
+by test_pipeline with small radii -- the CLI uses full reference params, which
+are slow to trace in interpret mode)."""
+
+import os
+
+import numpy as np
+
+from image_denoising_filter_tpu import cli
+from image_denoising_filter_tpu.utils import imageio
+
+
+def test_cli_linear_and_cpu(tmp_path, monkeypatch, capsys):
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (32, 40, 4)).astype(np.float32)
+    target = str(tmp_path / "frame_0000.png")
+    imageio.save(target, img)
+
+    rc = cli.main([target, "--output-dir", str(tmp_path), "--configs", "linear,cpu1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "linear layout" in out
+    assert "transfer time:" in out and "execution time:" in out
+    assert "Time taken:" in out
+    assert os.path.exists(tmp_path / "output-linear-bialteral.png")
+    assert os.path.exists(tmp_path / "output-cpu.png")
+
+
+def test_cli_bad_input_returns_error(tmp_path, capsys):
+    rc = cli.main([str(tmp_path / "missing.png")])
+    assert rc == 1
+    assert "error:" in capsys.readouterr().err

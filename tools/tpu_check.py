@@ -21,6 +21,9 @@ def main() -> int:
 
     import jax
 
+    from image_denoising_filter_tpu.utils import compile_cache
+
+    compile_cache.enable()
     print("backend:", jax.default_backend(), jax.devices())
 
     from image_denoising_filter_tpu.config import BilateralParams, NlmParams
