@@ -51,6 +51,15 @@ def main(argv: list[str] | None = None) -> int:
         "--clamp", action="store_true",
         help="saturating LDR quantization instead of the reference's wrapping cast",
     )
+    ap.add_argument(
+        "--debug-weights", action="store_true",
+        help="dump sampled NLM/layers weight-accumulator values "
+        "(the reference's disabled debug block, src/main.cpp:1628-1647)",
+    )
+    ap.add_argument(
+        "--profile", metavar="DIR", default=None,
+        help="write a jax.profiler trace of the battery to DIR",
+    )
     args = ap.parse_args(argv)
 
     from .utils import compile_cache
@@ -64,8 +73,20 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         session = Session(
-            args.image, output_dir=args.output_dir, clamp_output=args.clamp
+            args.image,
+            output_dir=args.output_dir,
+            clamp_output=args.clamp,
+            debug_weights=args.debug_weights,
         )
+        profiler = None
+        if args.profile:
+            import jax
+
+            try:
+                jax.profiler.start_trace(args.profile)
+                profiler = jax
+            except Exception as e:
+                print(f"profiler unavailable: {e}", file=sys.stderr)
         for cfg, key in zip(GPU_BATTERY, key_of):
             if key not in sel:
                 continue
@@ -82,6 +103,9 @@ def main(argv: list[str] | None = None) -> int:
             path, _ = session.run_cpu(threads)
             print(f"\toutput: {path}")
             print_cpu_time(timer)
+        if profiler is not None:
+            profiler.profiler.stop_trace()
+            print(f"\tprofile trace written to {args.profile}")
     except Exception as e:  # main.cpp:1948-1991 catches and reports
         print(f"error: {e}", file=sys.stderr)
         return 1

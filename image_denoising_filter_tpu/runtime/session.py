@@ -74,6 +74,7 @@ class Session:
         output_dir: str = ".",
         clamp_output: bool = False,
         warmup: bool = True,
+        debug_weights: bool = False,
     ) -> None:
         self.target = target
         self.bilateral_params = bilateral_params
@@ -86,6 +87,11 @@ class Session:
         # steady-state device time like the reference's Vulkan timestamps
         # (pipeline creation happens outside the query range, main.cpp:690-727).
         self.warmup = warmup
+        # Sample and print accumulated (weightColor, normWeight) values after
+        # the NLM/layers accumulation -- the reference carries this as a
+        # disabled `if (0)` debug block over a host-visible weights buffer
+        # (src/main.cpp:1628-1647); here it's a real option.
+        self.debug_weights = debug_weights
         self.is_hdr = imageio.is_hdr_path(target)
         # Touch the backend so device/runtime initialization (the analog of
         # vk_utils::CreateInstance/CreateLogicalDevice, timed *outside* the
@@ -138,6 +144,18 @@ class Session:
         imageio.save(path, out_host, hdr=self.is_hdr, clamp=self.clamp_output)
         return RunResult(config=cfg, output_path=path, image=out_host, report=report)
 
+    def _dump_weights(self, wc, nw) -> None:
+        wc = np.asarray(wc)
+        nw = np.asarray(nw)
+        h, w = nw.shape
+        for y in range(h // 4, h * 3 // 4, 50):
+            for x in range(0, w, 50):
+                c = wc[y, x]
+                print(
+                    f"({x}; {y}) => | {c[0]:.6g} {c[1]:.6g} {c[2]:.6g} | "
+                    f"{nw[y, x]:.6g}"
+                )
+
     def _run_layers(self, target_dev, ds, report, layout):
         """Per-layer accumulate then normalize (src/main.cpp:1608-1624,
         1649-1652). Layers are always LDR (loaded with a_isHDR=false,
@@ -186,17 +204,22 @@ class Session:
             warm = model.accumulate_one(target_dev, target_dev, None)
             _fence(model.finalize(warm))
         carry = None
+        bar = ProgressBar(label="frames")
         if cfg.overlap:
             frames = FramePrefetcher(
                 ds.frames, lambda p: imageio.load(p)[0], depth=2, report=report
             )
             with report.execute():
-                for frame_dev in frames:
+                for i, frame_dev in enumerate(frames):
                     carry = model.accumulate_one(target_dev, frame_dev, carry)
+                    bar.progress(i + 1, len(frames))
+                bar.finish()
+                if self.debug_weights:
+                    self._dump_weights(carry[0], carry[1])
                 out = model.finalize(carry)
                 _fence(out)
         else:
-            for p in ds.frames:
+            for i, p in enumerate(ds.frames):
                 host = imageio.load(p)[0]
                 with report.transfer():
                     frame_dev = jax.device_put(host)
@@ -204,6 +227,10 @@ class Session:
                 with report.execute():
                     carry = model.accumulate_one(target_dev, frame_dev, carry)
                     _fence(carry[1])
+                bar.progress(i + 1, len(ds.frames))
+            bar.finish()
+            if self.debug_weights:
+                self._dump_weights(carry[0], carry[1])
             with report.execute():
                 out = model.finalize(carry)
                 _fence(out)
