@@ -51,10 +51,27 @@ class BilateralParams:
     # Reproduce the CPU path's blue-channel bug (src/main.cpp:1850: the color
     # distance compares texColor.b with itself, so blue never contributes).
     blue_bug: bool = False
+    # Drop taps whose *spatial* weight alone is below this (their total weight
+    # is <= spatial x 1, so they cannot move the normalized output by more
+    # than ~window^2 * eps ~= 2e-5 at the default): with the reference's
+    # sigma_spatial=2.0 this shrinks the 41x41 window to 25x25 exactly-to-
+    # float-precision. 0.0 disables truncation (full reference window).
+    truncate_eps: float = 1e-8
 
     @property
     def window(self) -> int:
         return 2 * self.radius + 1
+
+    @property
+    def effective_radius(self) -> int:
+        """Radius after spatial-weight truncation (== radius when
+        truncate_eps is 0 or sigma_spatial is large)."""
+        if self.truncate_eps <= 0.0:
+            return self.radius
+        import math
+
+        r_eff = math.ceil(self.sigma_spatial * math.sqrt(-2.0 * math.log(self.truncate_eps)))
+        return min(self.radius, max(1, r_eff))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -53,7 +53,7 @@ from ..config import (
 )
 
 DEFAULT_TILE_H = 128
-DEFAULT_TILE_W = 256
+DEFAULT_TILE_W = 512  # 1080p/4K sweep optimum on v5e
 
 
 def _round_up(x: int, m: int) -> int:
@@ -245,7 +245,9 @@ def _bilateral_planar(
     fuse_normalize: bool,
 ):
     _, h, w = img.shape
-    r = params.radius
+    # Spatial-weight truncation: taps beyond effective_radius have weight
+    # < truncate_eps and cannot change the float32 output (config.py).
+    r = params.effective_radius
     rh, lh = _halos(r)
     th, tw = _pick_tile(h, w, tiling)
     grid = (pl.cdiv(h, th), pl.cdiv(w, tw))

@@ -58,7 +58,7 @@ def bilateral_xla(img: jnp.ndarray, params: BilateralParams) -> jnp.ndarray:
     ops/reference.py:bilateral_reference for the tap-level semantics)."""
     img = img.astype(jnp.float32)
     h, w, _ = img.shape
-    r = params.radius
+    r = params.effective_radius  # spatial-weight truncation (config.py)
     padded = _pad2d(img, r, params.border)
     offs, log_sw = _offsets_and_spatial(r, params.sigma_spatial)
     inv2sc = jnp.float32(0.5 / (params.sigma_color**2))
@@ -90,7 +90,7 @@ def cross_bilateral_layers_xla(
     target = target.astype(jnp.float32)
     layer = layer.astype(jnp.float32)
     h, w, _ = target.shape
-    r = params.radius
+    r = params.effective_radius  # spatial-weight truncation (config.py)
     padded_t = _pad2d(target, r, params.border)
     padded_l = _pad2d(layer, r, params.border)
     offs, log_sw = _offsets_and_spatial(r, params.sigma_spatial)

@@ -35,15 +35,29 @@ class FramePrefetcher:
         depth: int = 2,
         report: Optional[TimingReport] = None,
         device=None,
+        native_paths: bool = False,
     ) -> None:
         self._items = list(items)
         self._loader = loader
         self._depth = max(1, depth)
         self._report = report
         self._device = device
+        self._native = None
+        if native_paths:
+            # items are file paths: decode them on C++ worker threads ahead of
+            # use (native data-loader), falling back to the Python loader.
+            try:
+                from ..utils.native import FrameLoader
 
-    def _upload(self, item):
-        host = self._loader(item)
+                self._native = FrameLoader(self._items, lookahead=self._depth + 2)
+            except Exception:
+                self._native = None
+
+    def _upload(self, idx: int):
+        if self._native is not None:
+            host = self._native.get(idx)
+        else:
+            host = self._loader(self._items[idx])
         if self._report is not None:
             with self._report.transfer():
                 return jax.device_put(host, self._device)
@@ -53,10 +67,10 @@ class FramePrefetcher:
         pending = []
         n = len(self._items)
         for i in range(min(self._depth, n)):
-            pending.append(self._upload(self._items[i]))
+            pending.append(self._upload(i))
         for i in range(n):
             if i + self._depth < n:
-                pending.append(self._upload(self._items[i + self._depth]))
+                pending.append(self._upload(i + self._depth))
             yield pending.pop(0)
 
     def __len__(self) -> int:

@@ -207,7 +207,11 @@ class Session:
         bar = ProgressBar(label="frames")
         if cfg.overlap:
             frames = FramePrefetcher(
-                ds.frames, lambda p: imageio.load(p)[0], depth=2, report=report
+                ds.frames,
+                lambda p: imageio.load(p)[0],
+                depth=2,
+                report=report,
+                native_paths=True,
             )
             with report.execute():
                 for i, frame_dev in enumerate(frames):

@@ -168,3 +168,63 @@ def exr_encode(rgba: np.ndarray, half: bool = False, compression: int = 3) -> by
     finally:
         lib.idf_free(buf)
     return out
+
+
+class FrameLoader:
+    """Threaded native frame loader: background decode with bounded lookahead.
+
+    Wraps idf_loader_* (native/idf_native.cpp): frames decode on C++ worker
+    threads while the device computes, so host decode never serializes the
+    streaming pipeline. Iterate to get float32 (H, W, 4) arrays in order.
+    """
+
+    def __init__(self, paths, lookahead: int = 4, threads: int = 4) -> None:
+        lib = _lib()
+        lib.idf_loader_create.restype = ctypes.c_void_p
+        lib.idf_loader_create.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.idf_loader_get.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.idf_loader_release.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.idf_loader_destroy.argtypes = [ctypes.c_void_p]
+        self._lib = lib
+        self._paths = [os.fspath(p) for p in paths]
+        arr = (ctypes.c_char_p * len(self._paths))(
+            *[p.encode() for p in self._paths]
+        )
+        self._handle = lib.idf_loader_create(arr, len(self._paths), lookahead, threads)
+
+    def __len__(self) -> int:
+        return len(self._paths)
+
+    def get(self, idx: int) -> np.ndarray:
+        data = ctypes.POINTER(ctypes.c_float)()
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        rc = self._lib.idf_loader_get(
+            self._handle, idx, ctypes.byref(data), ctypes.byref(w), ctypes.byref(h)
+        )
+        if rc != 0:
+            raise ValueError(f"frame decode failed for {self._paths[idx]} (code {rc})")
+        out = np.ctypeslib.as_array(data, shape=(h.value, w.value, 4)).copy()
+        self._lib.idf_loader_release(self._handle, idx)
+        return out
+
+    def __iter__(self):
+        for i in range(len(self._paths)):
+            yield self.get(i)
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.idf_loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):  # pragma: no cover - gc timing
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -660,3 +660,147 @@ int idf_num_threads() {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Threaded frame loader (native data-loader for the streaming pipeline)
+// ---------------------------------------------------------------------------
+//
+// Decodes animation frames on background threads with bounded lookahead so
+// host-side decode overlaps both device compute and host->HBM transfer -- the
+// reference does its decoding serially up front (LoadImages,
+// src/main.cpp:1390-1396); this is the production-streaming version.
+
+#include <atomic>
+#include <condition_variable>
+#include <mutex>
+#include <thread>
+
+namespace {
+
+struct LoadedFrame {
+  std::vector<float> rgba;  // HxWx4
+  int w = 0, h = 0;
+  int status = -1;  // -1 pending, 0 ok, >0 error
+};
+
+struct Loader {
+  std::vector<std::string> paths;
+  std::vector<LoadedFrame> frames;
+  std::vector<std::thread> workers;
+  std::mutex mu;
+  std::condition_variable cv_done;
+  std::condition_variable cv_slot;
+  std::atomic<int> next_job{0};
+  int lookahead = 4;
+  int released = 0;  // frames [0, released) freed; decode window stays bounded
+  bool stopping = false;
+
+  static bool ends_with(const std::string& s, const char* suf) {
+    size_t n = std::strlen(suf);
+    return s.size() >= n && s.compare(s.size() - n, n, suf) == 0;
+  }
+
+  void work() {
+    for (;;) {
+      int idx = next_job.fetch_add(1);
+      if (idx >= (int)paths.size()) return;
+      {
+        // bound the decode window: wait until idx < released + lookahead
+        std::unique_lock<std::mutex> lk(mu);
+        cv_slot.wait(lk, [&] { return stopping || idx < released + lookahead; });
+        if (stopping) return;
+      }
+      LoadedFrame f;
+      std::vector<uint8_t> blob;
+      FILE* fp = std::fopen(paths[idx].c_str(), "rb");
+      if (!fp) {
+        f.status = 100;
+      } else {
+        std::fseek(fp, 0, SEEK_END);
+        long n = std::ftell(fp);
+        std::fseek(fp, 0, SEEK_SET);
+        blob.resize(n);
+        if ((long)std::fread(blob.data(), 1, n, fp) != n) f.status = 101;
+        std::fclose(fp);
+      }
+      if (f.status == -1) {
+        if (ends_with(paths[idx], ".exr")) {
+          float* px = nullptr;
+          int rc = idf_exr_decode(blob.data(), blob.size(), &px, &f.w, &f.h);
+          if (rc == 0) {
+            f.rgba.assign(px, px + 4l * f.w * f.h);
+            idf_free(px);
+            f.status = 0;
+          } else {
+            f.status = rc;
+          }
+        } else {
+          uint8_t* px = nullptr;
+          int rc = idf_png_decode(blob.data(), blob.size(), &px, &f.w, &f.h);
+          if (rc == 0) {
+            f.rgba.resize(4l * f.w * f.h);
+            const float k = 1.0f / 255.0f;  // LDR semantics, src/main.cpp:1125-1128
+            for (long i = 0; i < 4l * f.w * f.h; ++i) f.rgba[i] = px[i] * k;
+            idf_free(px);
+            f.status = 0;
+          } else {
+            f.status = rc;
+          }
+        }
+      }
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        frames[idx] = std::move(f);
+      }
+      cv_done.notify_all();
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" void* idf_loader_create(const char** paths, int n, int lookahead, int threads) {
+  auto* L = new Loader();
+  L->paths.assign(paths, paths + n);
+  L->frames.resize(n);
+  L->lookahead = std::max(1, lookahead);
+  int nt = std::max(1, std::min(threads, n));
+  for (int i = 0; i < nt; ++i) L->workers.emplace_back(&Loader::work, L);
+  return L;
+}
+
+// Blocks until frame idx is decoded. Returns its status (0 = ok) and points
+// *data at loader-owned memory, valid until idf_loader_release(idx).
+extern "C" int idf_loader_get(void* handle, int idx, const float** data, int* w, int* h) {
+  auto* L = (Loader*)handle;
+  std::unique_lock<std::mutex> lk(L->mu);
+  L->cv_done.wait(lk, [&] { return L->frames[idx].status != -1; });
+  const LoadedFrame& f = L->frames[idx];
+  *data = f.rgba.data();
+  *w = f.w;
+  *h = f.h;
+  return f.status;
+}
+
+// Frees frames up to and including idx, advancing the decode window.
+extern "C" void idf_loader_release(void* handle, int idx) {
+  auto* L = (Loader*)handle;
+  {
+    std::lock_guard<std::mutex> lk(L->mu);
+    for (int i = L->released; i <= idx && i < (int)L->frames.size(); ++i)
+      L->frames[i].rgba = std::vector<float>();
+    L->released = std::max(L->released, idx + 1);
+  }
+  L->cv_slot.notify_all();
+}
+
+extern "C" void idf_loader_destroy(void* handle) {
+  auto* L = (Loader*)handle;
+  {
+    std::lock_guard<std::mutex> lk(L->mu);
+    L->stopping = true;
+  }
+  L->cv_slot.notify_all();
+  for (auto& t : L->workers) t.join();
+  delete L;
+}
