@@ -5,6 +5,10 @@ attached TPU chip. Prints ONE JSON line:
 Targets (BASELINE.json): bilateral >= 5000 Mpix/s, NLM >= 500 Mpix/s per v5e
 chip at 4K; >= 59 dB PSNR parity vs the CPU bilateral reference. vs_baseline is
 the geometric mean of the two throughput ratios (1.0 == both targets met).
+
+Timing methodology: host fences through a tunneled backend cost ~30 ms each,
+so we chain K kernel applications inside one jitted fori_loop (data-dependent)
+and report the K=1 -> K=4 slope, which cancels the per-call roundtrip.
 """
 
 from __future__ import annotations
@@ -18,6 +22,7 @@ import numpy as np
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     from image_denoising_filter_tpu.utils import compile_cache
 
@@ -39,18 +44,24 @@ def main() -> None:
     bp = BilateralParams()  # radius 20 (reference GPU params)
     nlp = NlmParams()  # s=7 p=3 h=0.5
 
-    import jax.numpy as jnp
+    def slope_time(chain_fn, x0, *extra, iters=3, k=4):
+        def run_k(kk):
+            @jax.jit
+            def f(x, *e):
+                out = jax.lax.fori_loop(0, kk, lambda i, v: chain_fn(v, *e), x)
+                return jnp.sum(out[0, 0])
 
-    def timeit(fn, args, iters=3):
-        fence = jax.jit(lambda *a: jnp.sum(fn(*a)[0, 0]))
-        float(fence(*args))  # compile + warm
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            float(fence(*args))
-        return (time.perf_counter() - t0) / iters
+            float(f(x0, *extra))  # compile + warm
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                float(f(x0, *extra))
+            return (time.perf_counter() - t0) / iters
 
-    dt_b = timeit(lambda x: bilateral(x, bp), (img,))
-    dt_n = timeit(lambda a, b: nlm_accumulate(a, b, nlp)[0], (img, img2))
+        t1, tk = run_k(1), run_k(k)
+        return max((tk - t1) / (k - 1), 1e-9)
+
+    dt_b = slope_time(lambda x: bilateral(x, bp), img)
+    dt_n = slope_time(lambda nb, tgt: nlm_accumulate(tgt, nb, nlp)[0], img2, img)
     mpix_b = h * w / dt_b / 1e6
     mpix_n = h * w / dt_n / 1e6
 

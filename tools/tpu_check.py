@@ -41,26 +41,40 @@ def main() -> int:
 
     import jax.numpy as jnp
 
-    def timeit(name, fn, *xs):
-        # NOTE: through the axon tunnel, block_until_ready on the output handle
-        # does not wait for device execution; a scalar reduction + host float()
-        # is the reliable execution fence (4-byte transfer).
-        fence = jax.jit(lambda *a: jnp.sum(fn(*a)[0, 0]))
-        float(fence(*xs))  # compile
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            float(fence(*xs))
-        dt = (time.perf_counter() - t0) / args.iters
+    def timeit(name, chain_fn, x0, *extra):
+        # Through the tunneled backend every host fence costs ~30 ms, so we
+        # chain K kernel applications in one jitted fori_loop (data-dependent)
+        # and take the slope between K=1 and K: the per-call roundtrip cancels.
+        def run_k(k):
+            @jax.jit
+            def f(x, *e):
+                out = jax.lax.fori_loop(0, k, lambda i, v: chain_fn(v, *e), x)
+                return jnp.sum(out[0, 0])
+            float(f(x0, *extra))  # compile+warm
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                float(f(x0, *extra))
+            return (time.perf_counter() - t0) / args.iters
+
+        k = 4
+        t1, tk = run_k(1), run_k(k)
+        dt = max((tk - t1) / (k - 1), 1e-9)
         mpix = h * w / dt / 1e6
-        print(f"{name:28s} {dt * 1e3:9.3f} ms   {mpix:10.1f} Mpix/s")
-        return fn(*xs)
+        print(
+            f"{name:28s} {dt * 1e3:9.3f} ms   {mpix:10.1f} Mpix/s   "
+            f"(roundtrip {max(t1 - dt, 0) * 1e3:.1f} ms)"
+        )
+        return chain_fn(x0, *extra)
 
     dimg = jax.device_put(img)
     dimg2 = jax.device_put(img2)
 
     out_b = timeit("bilateral r=20 (pallas)", lambda x: bilateral(x, bp), dimg)
     out_n = timeit(
-        "nlm s=7 p=3 (pallas)", lambda a, b: nlm_accumulate(a, b, nlp)[0], dimg, dimg2
+        "nlm s=7 p=3 (pallas)",
+        lambda nb, tgt: nlm_accumulate(tgt, nb, nlp)[0],
+        dimg2,
+        dimg,
     )
 
     if args.check:
