@@ -60,6 +60,11 @@ def main(argv: list[str] | None = None) -> int:
         "--profile", metavar="DIR", default=None,
         help="write a jax.profiler trace of the battery to DIR",
     )
+    ap.add_argument(
+        "--mesh", default=None, metavar="FxY",
+        help="multi-chip mesh, e.g. 2x4 = 2-way frame DP x 4-way spatial "
+        "row sharding (default: single device)",
+    )
     args = ap.parse_args(argv)
 
     from .utils import compile_cache
@@ -72,11 +77,16 @@ def main(argv: list[str] | None = None) -> int:
     key_of = ["bilateral", "layers", "linear", "nlm", "multiframe", "overlap"]
 
     try:
+        mesh_shape = None
+        if args.mesh:
+            f, y = args.mesh.lower().split("x")
+            mesh_shape = (int(f), int(y))
         session = Session(
             args.image,
             output_dir=args.output_dir,
             clamp_output=args.clamp,
             debug_weights=args.debug_weights,
+            mesh_shape=mesh_shape,
         )
         profiler = None
         if args.profile:

@@ -46,6 +46,12 @@ def _exchange_halo(local: jnp.ndarray, halo: int, border: str, axis: str) -> jnp
     """
     n = jax.lax.axis_size(axis)
     idx = jax.lax.axis_index(axis)
+    if local.shape[0] < halo:
+        raise ValueError(
+            f"spatial shard has {local.shape[0]} rows but the stencil needs a "
+            f"{halo}-row halo; use fewer 'y' shards or pad rows "
+            "(runtime.Session does this automatically)"
+        )
 
     # Shard i's top halo is the *bottom* rows of shard i-1; its bottom halo is
     # the top rows of shard i+1.
@@ -165,44 +171,56 @@ def temporal_nlm_sharded(
     norm_params: NormalizeParams = NormalizeParams(),
     mesh: Optional[Mesh] = None,
     tiling: Optional[TilingConfig] = None,
+    valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Full multichip temporal NLM: frames sharded over 'frame' (DP), rows
     over 'y' (spatial), weight partials psum'd over 'frame', then normalized.
 
     target: (H, W, 4) replicated over 'frame'; frames: (F, H, W, 4) with F
-    divisible by the 'frame' axis size and H by the 'y' axis size.
+    divisible by the 'frame' axis size and H by the 'y' axis size. `valid`
+    ((F,) float 0/1, default all-ones) masks padding frames: a masked frame
+    contributes neither weights nor its norm seed, so padding F up to a
+    multiple of the 'frame' axis is semantics-free.
     """
     halo = params.search_radius + params.patch_radius
     # Each frame contributes norm_seed once (shaders/nonlocal.comp:32); the
     # per-device kernel seeds its local frames, and psum adds them up -- same
     # total seed F * norm_seed as the sequential reference loop.
 
+    if valid is None:
+        valid = jnp.ones((frames.shape[0],), jnp.float32)
+
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         check_vma=False,  # pallas_call outputs don't carry vma metadata
-        in_specs=(P(SPATIAL_AXIS, None, None), P(FRAME_AXIS, SPATIAL_AXIS, None, None)),
+        in_specs=(
+            P(SPATIAL_AXIS, None, None),
+            P(FRAME_AXIS, SPATIAL_AXIS, None, None),
+            P(FRAME_AXIS),
+        ),
         out_specs=P(SPATIAL_AXIS, None, None),
     )
-    def run(t_local, frames_local):
+    def run(t_local, frames_local, valid_local):
         rows = t_local.shape[0]
         t_ext = _exchange_halo(t_local, halo, params.border, SPATIAL_AXIS)
 
-        def body(carry, frame):
+        def body(carry, frame_and_valid):
+            frame, v = frame_and_valid
             wc, nw = carry
             f_ext = _exchange_halo(frame, halo, params.border, SPATIAL_AXIS)
             pwc, pnw = ops.nlm_accumulate(t_ext, f_ext, params, tiling)
-            return (wc + pwc, nw + pnw), None
+            return (wc + pwc * v, nw + pnw * v), None
 
         ext_rows = rows + 2 * halo
         init = (
             jnp.zeros((ext_rows, t_local.shape[1], 4), jnp.float32),
             jnp.zeros((ext_rows, t_local.shape[1]), jnp.float32),
         )
-        (wc, nw), _ = jax.lax.scan(body, init, frames_local)
+        (wc, nw), _ = jax.lax.scan(body, init, (frames_local, valid_local))
         wc = jax.lax.psum(wc, FRAME_AXIS)
         nw = jax.lax.psum(nw, FRAME_AXIS)
         out = ops.normalize(wc, nw, norm_params)
         return out[halo : halo + rows]
 
-    return run(target, frames)
+    return run(target, frames, valid)

@@ -34,6 +34,13 @@ from ..models.denoiser import (
     NlmDenoiser,
     TemporalNlmDenoiser,
 )
+from ..parallel import (
+    make_mesh,
+    spatial_bilateral,
+    spatial_cross_bilateral_layers,
+    spatial_nlm_accumulate,
+    temporal_nlm_sharded,
+)
 from ..ops import reference as ref_ops
 from ..utils import dataset as dataset_mod
 from ..utils import imageio
@@ -75,6 +82,7 @@ class Session:
         clamp_output: bool = False,
         warmup: bool = True,
         debug_weights: bool = False,
+        mesh_shape: Optional[tuple[int, int]] = None,
     ) -> None:
         self.target = target
         self.bilateral_params = bilateral_params
@@ -92,6 +100,10 @@ class Session:
         # disabled `if (0)` debug block over a host-visible weights buffer
         # (src/main.cpp:1628-1647); here it's a real option.
         self.debug_weights = debug_weights
+        # (frame, y) mesh for multi-chip runs: rows shard over 'y' with ICI
+        # halo exchange; multiframe NLM partials psum over 'frame'. None =
+        # single-device (the reference's deviceId-0 mode, src/main.cpp:1321).
+        self.mesh = make_mesh(mesh_shape) if mesh_shape else None
         self.is_hdr = imageio.is_hdr_path(target)
         # Touch the backend so device/runtime initialization (the analog of
         # vk_utils::CreateInstance/CreateLogicalDevice, timed *outside* the
@@ -115,7 +127,9 @@ class Session:
 
         layout = LINEAR if cfg.linear else TILED
 
-        if cfg.use_layers:
+        if self.mesh is not None and not cfg.linear:
+            out_dev = self._run_sharded(target_dev, ds, report, cfg)
+        elif cfg.use_layers:
             out_dev = self._run_layers(target_dev, ds, report, layout)
         elif cfg.nlm and cfg.multiframe:
             out_dev = self._run_multiframe(target_dev, ds, report, layout, cfg)
@@ -143,6 +157,97 @@ class Session:
         path = os.path.join(self.output_dir, name)
         imageio.save(path, out_host, hdr=self.is_hdr, clamp=self.clamp_output)
         return RunResult(config=cfg, output_path=path, image=out_host, report=report)
+
+    def _pad_rows(self, img, halo: int = 0):
+        """Pad H so it divides the 'y' axis size AND each shard has at least
+        `halo` rows (a shard cannot source a halo strip larger than itself).
+        Edge-replication matches the CLAMP border policy; the pad is cropped
+        after filtering."""
+        from ..config import BorderPolicy
+
+        n_y = self.mesh.devices.shape[1]
+        h = img.shape[0]
+        rows = max(-(-h // n_y), halo)
+        ph = rows * n_y - h
+        if ph == 0:
+            return img, h
+        mode = (
+            "edge"
+            if self.bilateral_params.border == BorderPolicy.CLAMP
+            else "constant"
+        )
+        return jnp.pad(img, ((0, ph), (0, 0), (0, 0)), mode=mode), h
+
+    def _run_sharded(self, target_dev, ds, report, cfg):
+        """Multi-chip dispatch: spatial row sharding (+ frame DP for
+        multiframe NLM)."""
+        if cfg.use_layers:
+            halo = self.layers_params.effective_radius
+        elif cfg.nlm:
+            halo = self.nlm_params.halo
+        else:
+            halo = self.bilateral_params.effective_radius
+        tgt, h = self._pad_rows(target_dev, halo)
+        if cfg.use_layers:
+            wc = nw = None
+            for p in ds.layers:
+                layer, _ = self._pad_rows(jax.device_put(imageio.load(p)[0]), halo)
+                pwc, pnw = spatial_cross_bilateral_layers(
+                    tgt, layer, self.layers_params, self.mesh, self.tiling
+                )
+                wc = pwc if wc is None else wc + pwc
+                nw = pnw if nw is None else nw + pnw
+            from ..ops import normalize as norm_op
+
+            if wc is None:
+                hh, ww, _ = tgt.shape
+                wc = jnp.zeros((hh, ww, 4), jnp.float32)
+                nw = jnp.zeros((hh, ww), jnp.float32)
+            with report.execute():
+                out = norm_op(wc, nw)
+                _fence(out)
+            return out[:h]
+        if cfg.nlm and cfg.multiframe:
+            # Pad the frame count to a multiple of the 'frame' axis; padded
+            # frames are masked out via `valid` so they contribute neither
+            # weights nor the per-frame norm seed.
+            n_f = self.mesh.devices.shape[0]
+            frames = [imageio.load(p)[0] for p in ds.frames]
+            n_pad = (-len(frames)) % n_f
+            valid = np.concatenate(
+                [np.ones(len(frames), np.float32), np.zeros(n_pad, np.float32)]
+            )
+            frames += [np.zeros_like(frames[0])] * n_pad
+            stacked = np.stack(
+                [np.asarray(self._pad_rows(jax.device_put(f), halo)[0]) for f in frames]
+            )
+            with report.transfer():
+                frames_dev = jax.device_put(stacked)
+            with report.execute():
+                out = temporal_nlm_sharded(
+                    tgt,
+                    frames_dev,
+                    self.nlm_params,
+                    mesh=self.mesh,
+                    tiling=self.tiling,
+                    valid=jax.device_put(valid),
+                )
+                _fence(out)
+            return out[:h]
+        if cfg.nlm:
+            from ..ops import normalize as norm_op
+
+            with report.execute():
+                wc, nw = spatial_nlm_accumulate(
+                    tgt, tgt, self.nlm_params, self.mesh, self.tiling
+                )
+                out = norm_op(wc, nw)
+                _fence(out)
+            return out[:h]
+        with report.execute():
+            out = spatial_bilateral(tgt, self.bilateral_params, self.mesh, self.tiling)
+            _fence(out)
+        return out[:h]
 
     def _dump_weights(self, wc, nw) -> None:
         wc = np.asarray(wc)
