@@ -54,6 +54,7 @@ from ..config import (
 
 DEFAULT_TILE_H = 128
 DEFAULT_TILE_W = 512  # 1080p/4K sweep optimum on v5e
+DEFAULT_TILE_H_NLM = 64  # NLM sweeps slightly faster with shorter tiles
 
 
 def _round_up(x: int, m: int) -> int:
@@ -72,8 +73,10 @@ def _halos(r: int) -> tuple[int, int]:
     return _round_up(r, 4), _round_up(r, 128)
 
 
-def _pick_tile(h: int, w: int, tiling: Optional[TilingConfig]) -> tuple[int, int]:
-    th = tiling.tile_h if tiling and tiling.tile_h else min(_round_up(h, 8), DEFAULT_TILE_H)
+def _pick_tile(
+    h: int, w: int, tiling: Optional[TilingConfig], default_th: int = DEFAULT_TILE_H
+) -> tuple[int, int]:
+    th = tiling.tile_h if tiling and tiling.tile_h else min(_round_up(h, 8), default_th)
     tw = tiling.tile_w if tiling and tiling.tile_w else min(_round_up(w, 128), DEFAULT_TILE_W)
     assert th % 8 == 0 and tw % 128 == 0, "tile_h must be 8-aligned, tile_w 128-aligned"
     return th, tw
@@ -459,7 +462,7 @@ def nlm_accumulate(
     halo = s + p
     rht, lht = _halos(p)
     rhn, lhn = _halos(halo)
-    th, tw = _pick_tile(h, w, tiling)
+    th, tw = _pick_tile(h, w, tiling, DEFAULT_TILE_H_NLM)
     grid = (pl.cdiv(h, th), pl.cdiv(w, tw))
     padded_t = _pad_planar(tgt, rht, lht, params.border, grid[0], th, grid[1], tw)
     padded_n = _pad_planar(nbr, rhn, lhn, params.border, grid[0], th, grid[1], tw)

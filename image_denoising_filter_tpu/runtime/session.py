@@ -114,11 +114,13 @@ class Session:
 
     def run(self, cfg: RunConfig) -> RunResult:
         report = TimingReport()
+        # The 10-frame cap is an overlap-path behavior in the reference
+        # (src/main.cpp:1341,1554); the plain multiframe loop uses all frames.
         ds = dataset_mod.discover(
             self.target,
             multiframe=cfg.multiframe,
             use_layers=cfg.use_layers,
-            max_frames=cfg.max_frames,
+            max_frames=cfg.max_frames if cfg.overlap else None,
         )
         target_host, _ = imageio.load(ds.target)
 

@@ -10,8 +10,10 @@ Reproduces the reference's directory scan (src/main.cpp:1341-1397):
   * files inside immediate subdirectories whose path contains the frame ID are
     G-buffer layers (the "RenderElements" convention);
   * the target image is always loaded first (src/main.cpp:1381-1390);
-  * at most `max_frames` frames are consumed when multiframe (framesToUse = 10,
-    src/main.cpp:1341).
+  * the 10-frame cap (framesToUse, src/main.cpp:1341) applies only to the
+    copy/compute-overlap loop (src/main.cpp:1554); the non-overlapped
+    multiframe loop iterates every loaded frame (src/main.cpp:1574-1607), so
+    `max_frames=None` means uncapped.
 
 Deviation (documented): std::filesystem::directory_iterator order is
 unspecified; we sort lexicographically for determinism.
@@ -40,7 +42,10 @@ def frame_id(path: str) -> str:
 
 
 def discover(
-    target: str, multiframe: bool = False, use_layers: bool = False, max_frames: int = 10
+    target: str,
+    multiframe: bool = False,
+    use_layers: bool = False,
+    max_frames: int | None = 10,
 ) -> Dataset:
     parent = os.path.dirname(target) or "."
     ext = os.path.splitext(target)[1]
@@ -60,6 +65,6 @@ def discover(
         elif multiframe and os.path.splitext(entry)[1] == ext:
             frames.append(p)
 
-    if multiframe:
+    if multiframe and max_frames is not None:
         frames = frames[:max_frames]
     return Dataset(target=target, frames=tuple(frames), layers=tuple(layers), is_hdr=is_hdr)
