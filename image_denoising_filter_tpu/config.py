@@ -52,10 +52,11 @@ class BilateralParams:
     # distance compares texColor.b with itself, so blue never contributes).
     blue_bug: bool = False
     # Drop taps whose *spatial* weight alone is below this (their total weight
-    # is <= spatial x 1, so they cannot move the normalized output by more
-    # than ~window^2 * eps ~= 2e-5 at the default): with the reference's
-    # sigma_spatial=2.0 this shrinks the 41x41 window to 25x25 exactly-to-
-    # float-precision. 0.0 disables truncation (full reference window).
+    # is <= spatial x 1, so the dropped tail can shift the normalized output
+    # by at most ~window^2 * eps ~= 2e-5 relative -- far below the parity
+    # tolerance, though above float32 eps). With the reference's
+    # sigma_spatial=2.0 this shrinks the 41x41 window to 27x27
+    # (effective_radius 13). 0.0 disables truncation (full window).
     truncate_eps: float = 1e-8
 
     @property

@@ -92,7 +92,7 @@ def spatial_bilateral(
     on the halo-extended shard and the center is cropped back -- identical
     output to the single-chip kernel.
     """
-    halo = params.radius
+    halo = params.effective_radius  # what the kernel actually reads
 
     @functools.partial(
         jax.shard_map,
@@ -145,7 +145,7 @@ def spatial_cross_bilateral_layers(
     tiling: Optional[TilingConfig] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One layer's cross-bilateral partials with H sharded over 'y'."""
-    halo = params.radius
+    halo = params.effective_radius
 
     @functools.partial(
         jax.shard_map,

@@ -160,11 +160,11 @@ class Session:
         imageio.save(path, out_host, hdr=self.is_hdr, clamp=self.clamp_output)
         return RunResult(config=cfg, output_path=path, image=out_host, report=report)
 
-    def _pad_rows(self, img, halo: int = 0):
+    def _pad_rows(self, img, halo: int, border: str):
         """Pad H so it divides the 'y' axis size AND each shard has at least
         `halo` rows (a shard cannot source a halo strip larger than itself).
-        Edge-replication matches the CLAMP border policy; the pad is cropped
-        after filtering."""
+        The pad mode follows the run's border policy (edge pad == CLAMP taps,
+        zero pad == ZERO taps); the pad is cropped after filtering."""
         from ..config import BorderPolicy
 
         n_y = self.mesh.devices.shape[1]
@@ -173,27 +173,24 @@ class Session:
         ph = rows * n_y - h
         if ph == 0:
             return img, h
-        mode = (
-            "edge"
-            if self.bilateral_params.border == BorderPolicy.CLAMP
-            else "constant"
-        )
+        mode = "edge" if border == BorderPolicy.CLAMP else "constant"
         return jnp.pad(img, ((0, ph), (0, 0), (0, 0)), mode=mode), h
 
     def _run_sharded(self, target_dev, ds, report, cfg):
         """Multi-chip dispatch: spatial row sharding (+ frame DP for
         multiframe NLM)."""
         if cfg.use_layers:
-            halo = self.layers_params.effective_radius
+            halo, border = self.layers_params.effective_radius, self.layers_params.border
         elif cfg.nlm:
-            halo = self.nlm_params.halo
+            halo, border = self.nlm_params.halo, self.nlm_params.border
         else:
             halo = self.bilateral_params.effective_radius
-        tgt, h = self._pad_rows(target_dev, halo)
+            border = self.bilateral_params.border
+        tgt, h = self._pad_rows(target_dev, halo, border)
         if cfg.use_layers:
             wc = nw = None
             for p in ds.layers:
-                layer, _ = self._pad_rows(jax.device_put(imageio.load(p)[0]), halo)
+                layer, _ = self._pad_rows(jax.device_put(imageio.load(p)[0]), halo, border)
                 pwc, pnw = spatial_cross_bilateral_layers(
                     tgt, layer, self.layers_params, self.mesh, self.tiling
                 )
@@ -220,9 +217,19 @@ class Session:
                 [np.ones(len(frames), np.float32), np.zeros(n_pad, np.float32)]
             )
             frames += [np.zeros_like(frames[0])] * n_pad
-            stacked = np.stack(
-                [np.asarray(self._pad_rows(jax.device_put(f), halo)[0]) for f in frames]
-            )
+            # Row-pad on the host (same mode as _pad_rows) so the stack goes
+            # up in ONE transfer instead of a device round-trip per frame.
+            n_y = self.mesh.devices.shape[1]
+            fh = frames[0].shape[0]
+            ph = max(-(-fh // n_y), halo) * n_y - fh
+            from ..config import BorderPolicy
+
+            mode = "edge" if border == BorderPolicy.CLAMP else "constant"
+            if ph:
+                frames = [
+                    np.pad(f, ((0, ph), (0, 0), (0, 0)), mode=mode) for f in frames
+                ]
+            stacked = np.stack(frames)
             with report.transfer():
                 frames_dev = jax.device_put(stacked)
             with report.execute():
@@ -274,12 +281,6 @@ class Session:
         if not layers_host:
             # No layers found: accumulators stay zero and normalize paints the
             # magenta sentinel everywhere, like the reference would.
-            h, w, _ = np.asarray(target_dev).shape
-            layers_host = []
-            stacked = np.zeros((0, h, w, 4), np.float32)
-        else:
-            stacked = np.stack(layers_host)
-        if stacked.shape[0] == 0:
             from ..ops import normalize as norm_op
 
             h, w, _ = target_dev.shape
@@ -290,7 +291,7 @@ class Session:
                 _fence(out)
             return out
         with report.transfer():
-            layers_dev = jax.device_put(stacked)
+            layers_dev = jax.device_put(np.stack(layers_host))
         if self.warmup:
             _fence(model(target_dev, layers_dev))
         with report.execute():
@@ -309,12 +310,19 @@ class Session:
         model = TemporalNlmDenoiser(self.nlm_params, layout=layout, tiling=self.tiling)
         if self.warmup:
             warm = model.accumulate_one(target_dev, target_dev, None)
+            warm = model.accumulate_one(target_dev, target_dev, warm)  # +carry path
             _fence(model.finalize(warm))
         carry = None
         bar = ProgressBar(label="frames")
         if cfg.overlap:
+            # Reference parity: the overlap loop dispatches NLM on the
+            # *previous* texture while copying frame ii (src/main.cpp:1554-
+            # 1572), so the final uploaded frame is never filtered -- only
+            # frames[0 .. framesToUse-2] accumulate (9 dispatches for 10
+            # frames).
+            consumed = ds.frames[:-1] if len(ds.frames) > 1 else ds.frames
             frames = FramePrefetcher(
-                ds.frames,
+                consumed,
                 lambda p: imageio.load(p)[0],
                 depth=2,
                 report=report,

@@ -124,7 +124,7 @@ def decode(data: bytes) -> np.ndarray:
         elif name == "dataWindow":
             data_window = struct.unpack("<4i", body)
         elif name == "lineOrder":
-            line_order = body[0]
+            line_order = body[0]  # parsed but placement uses block-header y
 
     if compression not in _COMPRESSION_LINES:
         raise ExrError(f"compression type {compression} not supported (NONE/ZIP/ZIPS only)")
@@ -156,9 +156,9 @@ def decode(data: bytes) -> np.ndarray:
             raw = _zip_decompress(block, expected)
         bpos = 0
         for line in range(nlines):
+            # lineOrder only affects the order blocks appear in the file; the
+            # block header's y is absolute and lines within a block ascend.
             y = y0 + line
-            if line_order == 1:  # DECREASING_Y
-                y = h - 1 - y
             for cname, dt in ch_bytes:  # channels stored alphabetically per line
                 nb = w * np.dtype(dt).itemsize
                 planes[cname][y] = np.frombuffer(raw[bpos : bpos + nb], dt)

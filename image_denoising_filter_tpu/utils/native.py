@@ -202,6 +202,8 @@ class FrameLoader:
         return len(self._paths)
 
     def get(self, idx: int) -> np.ndarray:
+        """Fetch frame idx (blocking). Gets must be monotonically increasing:
+        get(i) releases every frame <= i; a later get(j <= i) raises."""
         data = ctypes.POINTER(ctypes.c_float)()
         w = ctypes.c_int()
         h = ctypes.c_int()

@@ -457,6 +457,7 @@ int idf_exr_decode(const uint8_t* data, size_t size, float** out, int* out_w,
       std::memcpy(&ymax, body + 12, 4);
     } else if (name == "lineOrder") {
       line_order = body[0];
+      (void)line_order;  // placement uses the absolute block-header y
     }
   }
   if (compression != 0 && compression != 2 && compression != 3) return 3;
@@ -498,8 +499,8 @@ int idf_exr_decode(const uint8_t* data, size_t size, float** out, int* out_w,
     }
     size_t bp = 0;
     for (int line = 0; line < nlines; ++line) {
+      // lineOrder only orders blocks within the file; header y is absolute.
       int y = y0 + line;
-      if (line_order == 1) y = h - 1 - y;
       for (auto& c : channels) {
         const size_t nb = (size_t)w * (c.ptype == 1 ? 2 : 4);
         int ci = -1;
@@ -774,6 +775,8 @@ extern "C" void* idf_loader_create(const char** paths, int n, int lookahead, int
 extern "C" int idf_loader_get(void* handle, int idx, const float** data, int* w, int* h) {
   auto* L = (Loader*)handle;
   std::unique_lock<std::mutex> lk(L->mu);
+  if (idx < 0 || idx >= (int)L->frames.size()) return 200;
+  if (idx < L->released) return 201;  // already released (gets must be monotonic)
   L->cv_done.wait(lk, [&] { return L->frames[idx].status != -1; });
   const LoadedFrame& f = L->frames[idx];
   *data = f.rgba.data();

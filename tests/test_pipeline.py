@@ -137,16 +137,29 @@ def test_session_battery(tmp_path, cfg):
     assert result.report.transfer_ns > 0
 
 
-def test_session_overlap_equals_multiframe(tmp_path):
-    """Copy/compute overlap must not change the result (only the schedule),
-    like the reference's output-...-multiframe vs -overlap files."""
+def test_session_overlap_drops_last_frame(tmp_path):
+    """Reference parity: the overlap loop dispatches NLM on the previous
+    texture while copying the next frame (src/main.cpp:1554-1572), so the last
+    uploaded frame is never filtered. Overlap output == temporal NLM over
+    frames[:-1]; with identical frame sets the schedules agree exactly."""
+    from image_denoising_filter_tpu.models import TemporalNlmDenoiser
+    from image_denoising_filter_tpu.utils import dataset as dataset_mod
+
     target = _make_anim(tmp_path, n_frames=4)
-    session = Session(
-        target, nlm_params=NP_, output_dir=str(tmp_path)
-    )
-    a = session.run(RunConfig(nlm=True, multiframe=True))
+    session = Session(target, nlm_params=NP_, output_dir=str(tmp_path))
     b = session.run(RunConfig(nlm=True, multiframe=True, overlap=True))
-    np.testing.assert_allclose(a.image, b.image, rtol=1e-5, atol=1e-6)
+
+    ds = dataset_mod.discover(target, multiframe=True)
+    model = TemporalNlmDenoiser(NP_)
+    timg, _ = imageio.load(target)
+    frames = np.stack([imageio.load(p)[0] for p in ds.frames[:-1]])
+    want = np.asarray(model(timg, frames))
+    got = b.image
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # And it genuinely differs from the all-frames run (one fewer norm seed).
+    a = session.run(RunConfig(nlm=True, multiframe=True))
+    assert not np.allclose(a.image, b.image)
 
 
 def test_session_cpu_path(tmp_path):
