@@ -11,7 +11,13 @@ from __future__ import annotations
 import argparse
 import sys
 
-from .config import GPU_BATTERY, RunConfig
+from .config import (
+    GPU_BATTERY,
+    BilateralParams,
+    LayersParams,
+    NlmParams,
+    RunConfig,
+)
 from .runtime.session import Session
 from .utils.timing import Timer, print_cpu_time
 
@@ -65,6 +71,14 @@ def main(argv: list[str] | None = None) -> int:
         help="multi-chip mesh, e.g. 2x4 = 2-way frame DP x 4-way spatial "
         "row sharding (default: single device)",
     )
+    # Filter parameters (the reference requires editing main.cpp to change
+    # these, README.md:3; defaults are the reference's push-constant values).
+    ap.add_argument("--radius", type=int, default=20, help="bilateral window radius")
+    ap.add_argument("--sigma-spatial", type=float, default=2.0)
+    ap.add_argument("--sigma-color", type=float, default=0.2)
+    ap.add_argument("--nlm-h", type=float, default=0.5, help="NLM filtering parameter")
+    ap.add_argument("--search-radius", type=int, default=7, help="NLM search radius (half-open)")
+    ap.add_argument("--patch-radius", type=int, default=3, help="NLM patch radius (half-open)")
     args = ap.parse_args(argv)
 
     from .utils import compile_cache
@@ -81,8 +95,26 @@ def main(argv: list[str] | None = None) -> int:
         if args.mesh:
             f, y = args.mesh.lower().split("x")
             mesh_shape = (int(f), int(y))
+        bp = BilateralParams(
+            radius=args.radius,
+            sigma_spatial=args.sigma_spatial,
+            sigma_color=args.sigma_color,
+        )
+        lp = LayersParams(
+            radius=args.radius,
+            sigma_spatial=args.sigma_spatial,
+            sigma_color=args.sigma_color,
+        )
+        nlp = NlmParams(
+            search_radius=args.search_radius,
+            patch_radius=args.patch_radius,
+            h=args.nlm_h,
+        )
         session = Session(
             args.image,
+            bilateral_params=bp,
+            layers_params=lp,
+            nlm_params=nlp,
             output_dir=args.output_dir,
             clamp_output=args.clamp,
             debug_weights=args.debug_weights,

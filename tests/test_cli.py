@@ -30,3 +30,20 @@ def test_cli_bad_input_returns_error(tmp_path, capsys):
     rc = cli.main([str(tmp_path / "missing.png")])
     assert rc == 1
     assert "error:" in capsys.readouterr().err
+
+
+def test_cli_param_flags(tmp_path, capsys):
+    """Filter parameters are CLI-settable (the reference requires editing
+    main.cpp, README.md:3). Smaller radius must change the output."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (24, 32, 4)).astype(np.float32)
+    target = str(tmp_path / "frame_0000.png")
+    imageio.save(target, img)
+    base = ["--output-dir", str(tmp_path), "--configs", "linear"]
+    assert cli.main([target, *base, "--radius", "2"]) == 0
+    a, _ = imageio.load(tmp_path / "output-linear-bialteral.png")
+    assert cli.main([target, *base, "--radius", "6", "--sigma-spatial", "4"]) == 0
+    b, _ = imageio.load(tmp_path / "output-linear-bialteral.png")
+    assert not np.array_equal(a, b)

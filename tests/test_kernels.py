@@ -147,3 +147,33 @@ def test_pallas_vs_xla_agree(img):
     a = np.asarray(bilateral(img, BP))
     b = np.asarray(bilateral_xla(img, BP))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_nlm_zero_border(img, img2):
+    p = NlmParams(search_radius=2, patch_radius=1, border=BorderPolicy.ZERO)
+    wc, nw = nlm_accumulate(img, img2, p)
+    wwc, wnw = ref.nlm_reference(img, img2, p)
+    np.testing.assert_allclose(np.asarray(wc), wwc, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nw), wnw, rtol=1e-4, atol=1e-5)
+
+
+def test_layers_blue_bug(img, img2):
+    p = LayersParams(radius=3, blue_bug=True)
+    wc, nw = cross_bilateral_layers(img, img2, p)
+    wwc, wnw = ref.cross_bilateral_layers_reference(img, img2, p)
+    np.testing.assert_allclose(np.asarray(wc), wwc, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nw), wnw, rtol=1e-4, atol=1e-5)
+
+
+def test_bilateral_xla_differentiable(img):
+    """The XLA variant is differentiable end-to-end (denoiser-in-the-loop
+    training use case)."""
+    import jax
+    import jax.numpy as jnp
+
+    def loss(x):
+        return jnp.sum(bilateral_xla(x, BP) ** 2)
+
+    g = jax.grad(loss)(jnp.asarray(img))
+    assert g.shape == img.shape
+    assert bool(jnp.isfinite(g).all()) and float(jnp.abs(g).max()) > 0
