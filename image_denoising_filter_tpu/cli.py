@@ -73,6 +73,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     # Filter parameters (the reference requires editing main.cpp to change
     # these, README.md:3; defaults are the reference's push-constant values).
+    ap.add_argument(
+        "--all-frames", action="store_true",
+        help="serving mode: run the selected configs for EVERY same-extension "
+        "frame in the target's directory (outputs under output-dir/<frame-stem>/)",
+    )
     ap.add_argument("--radius", type=int, default=20, help="bilateral window radius")
     ap.add_argument("--sigma-spatial", type=float, default=2.0)
     ap.add_argument("--sigma-color", type=float, default=0.2)
@@ -91,6 +96,13 @@ def main(argv: list[str] | None = None) -> int:
     key_of = ["bilateral", "layers", "linear", "nlm", "multiframe", "overlap"]
 
     try:
+        import os
+
+        targets = [args.image]
+        if args.all_frames:
+            from .utils import dataset as dataset_mod
+
+            targets = list(dataset_mod.discover(args.image, multiframe=True, max_frames=None).frames[1:])
         mesh_shape = None
         if args.mesh:
             f, y = args.mesh.lower().split("x")
@@ -110,16 +122,6 @@ def main(argv: list[str] | None = None) -> int:
             patch_radius=args.patch_radius,
             h=args.nlm_h,
         )
-        session = Session(
-            args.image,
-            bilateral_params=bp,
-            layers_params=lp,
-            nlm_params=nlp,
-            output_dir=args.output_dir,
-            clamp_output=args.clamp,
-            debug_weights=args.debug_weights,
-            mesh_shape=mesh_shape,
-        )
         profiler = None
         if args.profile:
             import jax
@@ -129,22 +131,43 @@ def main(argv: list[str] | None = None) -> int:
                 profiler = jax
             except Exception as e:
                 print(f"profiler unavailable: {e}", file=sys.stderr)
-        for cfg, key in zip(GPU_BATTERY, key_of):
-            if key not in sel:
-                continue
-            print(f"<<<--- {_banner(cfg)} --->>>")
-            result = session.run(cfg)
-            print(f"\toutput: {result.output_path}")
-            result.report.print()
 
-        for key, threads in (("cpu1", 1), ("cpu8", 8)):
-            if key not in sel:
-                continue
-            print(f"<<<--- bilateral filter on cpu ({threads} thread{'s' if threads > 1 else ''}) --->>>")
-            timer = Timer()
-            path, _ = session.run_cpu(threads)
-            print(f"\toutput: {path}")
-            print_cpu_time(timer)
+        for target in targets:
+            out_dir = args.output_dir
+            if args.all_frames:
+                stem = os.path.splitext(os.path.basename(target))[0]
+                out_dir = os.path.join(args.output_dir, stem)
+                os.makedirs(out_dir, exist_ok=True)
+                print(f"=== frame {stem} ===")
+            session = Session(
+                target,
+                bilateral_params=bp,
+                layers_params=lp,
+                nlm_params=nlp,
+                output_dir=out_dir,
+                clamp_output=args.clamp,
+                debug_weights=args.debug_weights,
+                mesh_shape=mesh_shape,
+            )
+            for cfg, key in zip(GPU_BATTERY, key_of):
+                if key not in sel:
+                    continue
+                print(f"<<<--- {_banner(cfg)} --->>>")
+                result = session.run(cfg)
+                print(f"\toutput: {result.output_path}")
+                result.report.print()
+
+            for key, threads in (("cpu1", 1), ("cpu8", 8)):
+                if key not in sel:
+                    continue
+                print(
+                    f"<<<--- bilateral filter on cpu ({threads} thread"
+                    f"{'s' if threads > 1 else ''}) --->>>"
+                )
+                timer = Timer()
+                path, _ = session.run_cpu(threads)
+                print(f"\toutput: {path}")
+                print_cpu_time(timer)
         if profiler is not None:
             profiler.profiler.stop_trace()
             print(f"\tprofile trace written to {args.profile}")

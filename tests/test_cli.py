@@ -47,3 +47,29 @@ def test_cli_param_flags(tmp_path, capsys):
     assert cli.main([target, *base, "--radius", "6", "--sigma-spatial", "4"]) == 0
     b, _ = imageio.load(tmp_path / "output-linear-bialteral.png")
     assert not np.array_equal(a, b)
+
+
+def test_cli_all_frames(tmp_path):
+    """Serving mode: every frame in the directory gets its own output dir."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        imageio.save(
+            str(tmp_path / f"frame_{i:04d}.png"),
+            rng.uniform(0, 1, (24, 32, 4)).astype(np.float32),
+        )
+    rc = cli.main(
+        [
+            str(tmp_path / "frame_0000.png"),
+            "--output-dir", str(tmp_path / "out"),
+            "--configs", "linear",
+            "--all-frames",
+            "--radius", "2",
+        ]
+    )
+    assert rc == 0
+    for i in range(3):
+        assert os.path.exists(
+            tmp_path / "out" / f"frame_{i:04d}" / "output-linear-bialteral.png"
+        )
