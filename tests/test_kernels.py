@@ -177,3 +177,13 @@ def test_bilateral_xla_differentiable(img):
     g = jax.grad(loss)(jnp.asarray(img))
     assert g.shape == img.shape
     assert bool(jnp.isfinite(g).all()) and float(jnp.abs(g).max()) > 0
+
+
+def test_bilateral_window_larger_than_image(rng):
+    """Stencil window larger than the image: clamp padding + partial tiles
+    must still match the oracle (8x16 image, radius 6 => 13x13 window)."""
+    img = rng.uniform(0, 1, (8, 16, 4)).astype(np.float32)
+    p = BilateralParams(radius=6, sigma_spatial=10.0)
+    got = np.asarray(bilateral(img, p))
+    want = ref.bilateral_reference(img, p)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
