@@ -49,14 +49,21 @@ from ..utils.timing import Timer, TimingReport, print_cpu_time
 from .prefetch import FramePrefetcher
 
 
+@jax.jit
+def _first_elem(a):
+    return a.ravel()[0]
+
+
 def _fence(x) -> None:
     """Reliable execution fence: reduce to a scalar and pull it to host.
 
     (Through tunneled device backends, block_until_ready on an output handle
     can return before device execution completes; a 4-byte scalar readback
-    cannot.)"""
+    cannot.) The fence program is a module-level jit so it compiles once per
+    shape -- a fresh lambda per call would put a remote compile inside every
+    timed region."""
     jax.block_until_ready(x)
-    np.asarray(jax.jit(lambda a: a.ravel()[0])(x))
+    np.asarray(_first_elem(x))
 
 
 @dataclasses.dataclass
