@@ -102,7 +102,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.all_frames:
             from .utils import dataset as dataset_mod
 
-            targets = list(dataset_mod.discover(args.image, multiframe=True, max_frames=None).frames[1:])
+            if not os.path.exists(args.image):
+                raise FileNotFoundError(args.image)
+            targets = list(
+                dataset_mod.discover(args.image, multiframe=True, max_frames=None).frames[1:]
+            )
         mesh_shape = None
         if args.mesh:
             f, y = args.mesh.lower().split("x")
@@ -132,6 +136,7 @@ def main(argv: list[str] | None = None) -> int:
             except Exception as e:
                 print(f"profiler unavailable: {e}", file=sys.stderr)
 
+        frame_cache: dict = {}
         for target in targets:
             out_dir = args.output_dir
             if args.all_frames:
@@ -148,6 +153,7 @@ def main(argv: list[str] | None = None) -> int:
                 clamp_output=args.clamp,
                 debug_weights=args.debug_weights,
                 mesh_shape=mesh_shape,
+                frame_cache=frame_cache,
             )
             for cfg, key in zip(GPU_BATTERY, key_of):
                 if key not in sel:

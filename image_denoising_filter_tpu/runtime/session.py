@@ -90,6 +90,7 @@ class Session:
         warmup: bool = True,
         debug_weights: bool = False,
         mesh_shape: Optional[tuple[int, int]] = None,
+        frame_cache: Optional[dict] = None,
     ) -> None:
         self.target = target
         self.bilateral_params = bilateral_params
@@ -111,11 +112,29 @@ class Session:
         # halo exchange; multiframe NLM partials psum over 'frame'. None =
         # single-device (the reference's deviceId-0 mode, src/main.cpp:1321).
         self.mesh = make_mesh(mesh_shape) if mesh_shape else None
+        # Optional decoded-frame LRU shared across Sessions (serving mode
+        # re-targets over the same neighbor frames; without a cache an
+        # N-frame directory costs O(N^2) decodes).
+        self._frame_cache = frame_cache
         self.is_hdr = imageio.is_hdr_path(target)
         # Touch the backend so device/runtime initialization (the analog of
         # vk_utils::CreateInstance/CreateLogicalDevice, timed *outside* the
         # reference's query range) is not attributed to the first transfer.
         _fence(jax.device_put(np.float32(0.0)))
+
+    _FRAME_CACHE_MAX = 32  # decoded frames kept when a cache dict is shared
+
+    def _load(self, path: str) -> np.ndarray:
+        if self._frame_cache is None:
+            return imageio.load(path)[0]
+        if path in self._frame_cache:
+            self._frame_cache[path] = self._frame_cache.pop(path)  # LRU touch
+            return self._frame_cache[path]
+        img = imageio.load(path)[0]
+        self._frame_cache[path] = img
+        while len(self._frame_cache) > self._FRAME_CACHE_MAX:
+            self._frame_cache.pop(next(iter(self._frame_cache)))
+        return img
 
     # -- GPU-path equivalent ------------------------------------------------
 
@@ -129,7 +148,7 @@ class Session:
             use_layers=cfg.use_layers,
             max_frames=cfg.max_frames if cfg.overlap else None,
         )
-        target_host, _ = imageio.load(ds.target)
+        target_host = self._load(ds.target)
 
         with report.transfer():
             target_dev = jax.device_put(target_host)
@@ -167,20 +186,24 @@ class Session:
         imageio.save(path, out_host, hdr=self.is_hdr, clamp=self.clamp_output)
         return RunResult(config=cfg, output_path=path, image=out_host, report=report)
 
-    def _pad_rows(self, img, halo: int, border: str):
-        """Pad H so it divides the 'y' axis size AND each shard has at least
-        `halo` rows (a shard cannot source a halo strip larger than itself).
-        The pad mode follows the run's border policy (edge pad == CLAMP taps,
-        zero pad == ZERO taps); the pad is cropped after filtering."""
+    def _row_padding(self, h: int, halo: int, border: str) -> tuple[int, str]:
+        """(pad_rows, numpy-pad mode) so H divides the 'y' axis size AND each
+        shard has at least `halo` rows (a shard cannot source a halo strip
+        larger than itself). The pad mode follows the run's border policy
+        (edge pad == CLAMP taps, zero pad == ZERO taps)."""
         from ..config import BorderPolicy
 
         n_y = self.mesh.devices.shape[1]
-        h = img.shape[0]
         rows = max(-(-h // n_y), halo)
-        ph = rows * n_y - h
+        mode = "edge" if border == BorderPolicy.CLAMP else "constant"
+        return rows * n_y - h, mode
+
+    def _pad_rows(self, img, halo: int, border: str):
+        """Row-pad a device array per _row_padding; cropped after filtering."""
+        h = img.shape[0]
+        ph, mode = self._row_padding(h, halo, border)
         if ph == 0:
             return img, h
-        mode = "edge" if border == BorderPolicy.CLAMP else "constant"
         return jnp.pad(img, ((0, ph), (0, 0), (0, 0)), mode=mode), h
 
     def _run_sharded(self, target_dev, ds, report, cfg):
@@ -197,7 +220,7 @@ class Session:
         if cfg.use_layers:
             wc = nw = None
             for p in ds.layers:
-                layer, _ = self._pad_rows(jax.device_put(imageio.load(p)[0]), halo, border)
+                layer, _ = self._pad_rows(jax.device_put(self._load(p)), halo, border)
                 pwc, pnw = spatial_cross_bilateral_layers(
                     tgt, layer, self.layers_params, self.mesh, self.tiling
                 )
@@ -214,24 +237,24 @@ class Session:
                 _fence(out)
             return out[:h]
         if cfg.nlm and cfg.multiframe:
+            # Same frame-selection rule as _run_multiframe: the overlap loop
+            # never dispatches the final uploaded frame (src/main.cpp:1554-1572).
+            paths = list(ds.frames)
+            if cfg.overlap and len(paths) > 1:
+                paths = paths[:-1]
             # Pad the frame count to a multiple of the 'frame' axis; padded
             # frames are masked out via `valid` so they contribute neither
             # weights nor the per-frame norm seed.
             n_f = self.mesh.devices.shape[0]
-            frames = [imageio.load(p)[0] for p in ds.frames]
+            frames = [self._load(p) for p in paths]
             n_pad = (-len(frames)) % n_f
             valid = np.concatenate(
                 [np.ones(len(frames), np.float32), np.zeros(n_pad, np.float32)]
             )
             frames += [np.zeros_like(frames[0])] * n_pad
-            # Row-pad on the host (same mode as _pad_rows) so the stack goes
+            # Row-pad on the host (same rule as _pad_rows) so the stack goes
             # up in ONE transfer instead of a device round-trip per frame.
-            n_y = self.mesh.devices.shape[1]
-            fh = frames[0].shape[0]
-            ph = max(-(-fh // n_y), halo) * n_y - fh
-            from ..config import BorderPolicy
-
-            mode = "edge" if border == BorderPolicy.CLAMP else "constant"
+            ph, mode = self._row_padding(frames[0].shape[0], halo, border)
             if ph:
                 frames = [
                     np.pad(f, ((0, ph), (0, 0), (0, 0)), mode=mode) for f in frames
@@ -284,7 +307,7 @@ class Session:
         model = LayerGuidedDenoiser(
             self.layers_params, layout=layout, tiling=self.tiling
         )
-        layers_host = [imageio.load(p)[0] for p in ds.layers]
+        layers_host = [self._load(p) for p in ds.layers]
         if not layers_host:
             # No layers found: accumulators stay zero and normalize paints the
             # magenta sentinel everywhere, like the reference would.
@@ -346,7 +369,7 @@ class Session:
                 _fence(out)
         else:
             for i, p in enumerate(ds.frames):
-                host = imageio.load(p)[0]
+                host = self._load(p)
                 with report.transfer():
                     frame_dev = jax.device_put(host)
                     jax.block_until_ready(frame_dev)

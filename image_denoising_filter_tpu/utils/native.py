@@ -210,6 +210,10 @@ class FrameLoader:
         rc = self._lib.idf_loader_get(
             self._handle, idx, ctypes.byref(data), ctypes.byref(w), ctypes.byref(h)
         )
+        if rc == 200:
+            raise ValueError(f"frame index {idx} out of range (0..{len(self._paths) - 1})")
+        if rc == 201:
+            raise ValueError(f"frame {idx} already released (gets must be monotonic)")
         if rc != 0:
             raise ValueError(f"frame decode failed for {self._paths[idx]} (code {rc})")
         out = np.ctypeslib.as_array(data, shape=(h.value, w.value, 4)).copy()

@@ -78,3 +78,16 @@ def test_prefetcher_uses_native(tmp_path):
     for i, o in enumerate(outs):
         want, _ = imageio.load(paths[i])
         np.testing.assert_array_equal(o, want)
+
+
+def test_loader_non_monotonic_get_raises(tmp_path):
+    paths = _write_frames(tmp_path, 3)
+    loader = native.FrameLoader(paths)
+    try:
+        loader.get(1)
+        with pytest.raises(ValueError, match="monotonic"):
+            loader.get(0)
+        with pytest.raises(ValueError, match="out of range"):
+            loader.get(99)
+    finally:
+        loader.close()

@@ -43,8 +43,9 @@ def _make_anim(tmp_path, n_frames=4):
         RunConfig(use_layers=True),
         RunConfig(nlm=True),
         RunConfig(nlm=True, multiframe=True),
+        RunConfig(nlm=True, multiframe=True, overlap=True),
     ],
-    ids=["bilateral", "layers", "nlm", "multiframe"],
+    ids=["bilateral", "layers", "nlm", "multiframe", "overlap"],
 )
 def test_sharded_session_matches_single(tmp_path, cfg):
     target = _make_anim(tmp_path)
