@@ -73,3 +73,26 @@ def test_cli_all_frames(tmp_path):
         assert os.path.exists(
             tmp_path / "out" / f"frame_{i:04d}" / "output-linear-bialteral.png"
         )
+
+
+def test_compare_tool(tmp_path, capsys):
+    import sys as _sys
+
+    import numpy as np
+
+    _sys.path.insert(0, "tools")
+    try:
+        import compare
+    finally:
+        _sys.path.pop(0)
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 1, (16, 16, 4)).astype(np.float32)
+    pa, pb = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+    imageio.save(pa, a)
+    imageio.save(pb, np.clip(a + 0.01, 0, 1))
+    assert compare.main([pa, pb]) == 0
+    out = capsys.readouterr().out
+    assert "PSNR" in out and "dB" in out
+    # mismatched shapes -> error
+    imageio.save(pb, a[:8])
+    assert compare.main([pa, pb]) == 1
