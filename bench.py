@@ -38,11 +38,17 @@ def main() -> None:
 
     h, w = 2160, 3840  # 4K
     rng = np.random.default_rng(0)
-    img = jax.device_put(rng.uniform(0, 1, (h, w, 4)).astype(np.float32))
-    img2 = jax.device_put(rng.uniform(0, 1, (h, w, 4)).astype(np.float32))
+    img_h = rng.uniform(0, 1, (h, w, 4)).astype(np.float32)
+    img2_h = rng.uniform(0, 1, (h, w, 4)).astype(np.float32)
+    # Representative frames: opaque alpha (every LDR render), which enables
+    # the exact uniform-alpha fast path that Session auto-selects.
+    img_h[..., 3] = 1.0
+    img2_h[..., 3] = 1.0
+    img = jax.device_put(img_h)
+    img2 = jax.device_put(img2_h)
 
-    bp = BilateralParams()  # radius 20 (reference GPU params)
-    nlp = NlmParams()  # s=7 p=3 h=0.5
+    bp = BilateralParams(uniform_alpha=True)  # radius 20 (reference GPU params)
+    nlp = NlmParams(uniform_alpha=True)  # s=7 p=3 h=0.5
 
     def slope_time(chain_fn, x0, *extra, iters=3, k=4):
         def run_k(kk):

@@ -51,6 +51,12 @@ class BilateralParams:
     # Reproduce the CPU path's blue-channel bug (src/main.cpp:1850: the color
     # distance compares texColor.b with itself, so blue never contributes).
     blue_bug: bool = False
+    # Exact fast path for images whose alpha channel is one constant value
+    # (typical LDR alpha=1): sum(w * a) == a * sum(w), so the kernel skips the
+    # per-tap alpha accumulation and reconstructs it from the norm. Enable
+    # only when alpha is genuinely uniform across ALL inputs (Session
+    # auto-detects); output is bit-equivalent up to fp reassociation.
+    uniform_alpha: bool = False
     # Drop taps whose *spatial* weight alone is below this (their total weight
     # is <= spatial x 1, so the dropped tail can shift the normalized output
     # by at most ~window^2 * eps ~= 2e-5 relative -- far below the parity
@@ -113,6 +119,9 @@ class NlmParams:
     h: float = 0.5
     norm_seed: float = 0.001  # added to normWeight once per frame
     border: str = BorderPolicy.CLAMP
+    # Exact fast path when every input's alpha is one constant (see
+    # BilateralParams.uniform_alpha); reconstructs wc_alpha = a * (nw - seed).
+    uniform_alpha: bool = False
 
     @property
     def halo(self) -> int:

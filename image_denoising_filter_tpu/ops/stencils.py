@@ -150,6 +150,7 @@ def _bilateral_kernel(
     blue_bug: bool,
     guided: bool,
     fuse_normalize: bool,
+    uniform_alpha: bool,
 ):
     r = radius
     i, j = pl.program_id(0), pl.program_id(1)
@@ -205,11 +206,12 @@ def _bilateral_kernel(
                 t2 = vimg[2][rbase : rbase + th, c0 : c0 + tw]
             else:
                 t0, t1, t2 = gr, gg, gb
-            t3 = vimg[3][rbase : rbase + th, c0 : c0 + tw]
             wc0 = wc0 + t0 * wgt
             wc1 = wc1 + t1 * wgt
             wc2 = wc2 + t2 * wgt
-            wc3 = wc3 + t3 * wgt
+            if not uniform_alpha:
+                t3 = vimg[3][rbase : rbase + th, c0 : c0 + tw]
+                wc3 = wc3 + t3 * wgt
             nw = nw + wgt
         rolled = tuple(_roll_up(v) for v in (*vimg, *vg))
         return (wc0, wc1, wc2, wc3, nw, *rolled)
@@ -226,6 +228,9 @@ def _bilateral_kernel(
     )
     out = jax.lax.fori_loop(0, 2 * r + 1, row_body, init)
     wc0, wc1, wc2, wc3, nw = out[:5]
+    if uniform_alpha:
+        # sum(w * a) == a * sum(w) when alpha is one constant everywhere.
+        wc3 = img_tile[3, rh : rh + th, lh : lh + tw] * nw
     if fuse_normalize:
         inv = 1.0 / nw
         out_wc_ref[0] = wc0 * inv
@@ -274,6 +279,7 @@ def _bilateral_planar(
         blue_bug=params.blue_bug,
         guided=guided,
         fuse_normalize=fuse_normalize,
+        uniform_alpha=params.uniform_alpha,
     )
     tile_shape = (4, th + 2 * rh, tw + 2 * lh)
     n_taps = (2 * r + 1) ** 2
@@ -364,6 +370,7 @@ def _nlm_kernel(
     lhn: int,
     inv_h2: float,
     norm_seed: float,
+    uniform_alpha: bool,
 ):
     halo = s + p
     i, j = pl.program_id(0), pl.program_id(1)
@@ -421,11 +428,12 @@ def _nlm_kernel(
             c0v = vn[0][trow : trow + th, tc : tc + tw]
             c1v = vn[1][trow : trow + th, tc : tc + tw]
             c2v = vn[2][trow : trow + th, tc : tc + tw]
-            c3v = vn[3][trow : trow + th, tc : tc + tw]
             wc0 = wc0 + c0v * wgt
             wc1 = wc1 + c1v * wgt
             wc2 = wc2 + c2v * wgt
-            wc3 = wc3 + c3v * wgt
+            if not uniform_alpha:
+                c3v = vn[3][trow : trow + th, tc : tc + tw]
+                wc3 = wc3 + c3v * wgt
             nw = nw + wgt
         rolled = tuple(_roll_up(v) for v in vn)
         return (wc0, wc1, wc2, wc3, nw, *rolled)
@@ -435,6 +443,11 @@ def _nlm_kernel(
     init = (zero, zero, zero, zero, seed, *(nbr_tile[c] for c in range(4)))
     out = jax.lax.fori_loop(0, 2 * s, row_body, init)
     wc0, wc1, wc2, wc3, nw = out[:5]
+    if uniform_alpha:
+        # tap alphas are one constant a: sum(w * a) = a * (nw - seed); the
+        # seed is not alpha-weighted (shaders/nonlocal.comp:32, 61).
+        alpha = nbr_tile[3, rhn : rhn + th, lhn : lhn + tw]
+        wc3 = alpha * (nw - jnp.float32(norm_seed))
     out_wc_ref[0] = wc0
     out_wc_ref[1] = wc1
     out_wc_ref[2] = wc2
@@ -479,6 +492,7 @@ def nlm_accumulate(
         lhn=lhn,
         inv_h2=1.0 / (params.h**2),
         norm_seed=params.norm_seed,
+        uniform_alpha=params.uniform_alpha,
     )
     n_offsets = (2 * s) ** 2
     wc, nw = pl.pallas_call(

@@ -64,6 +64,8 @@ def bilateral_xla(img: jnp.ndarray, params: BilateralParams) -> jnp.ndarray:
     inv2sc = jnp.float32(0.5 / (params.sigma_color**2))
     center = img[..., :3]
 
+    nch = 3 if params.uniform_alpha else 4
+
     def body(carry, off_and_lsw):
         wc, nw = carry
         off, lsw = off_and_lsw
@@ -73,10 +75,12 @@ def bilateral_xla(img: jnp.ndarray, params: BilateralParams) -> jnp.ndarray:
             d = d.at[..., 2].set(0.0)
         ssd = jnp.sum(d * d, axis=-1)
         wgt = jnp.exp(lsw - ssd * inv2sc)
-        return (wc + tap * wgt[..., None], nw + wgt), None
+        return (wc + tap[..., :nch] * wgt[..., None], nw + wgt), None
 
-    init = (jnp.zeros((h, w, 4), jnp.float32), jnp.zeros((h, w), jnp.float32))
+    init = (jnp.zeros((h, w, nch), jnp.float32), jnp.zeros((h, w), jnp.float32))
     (wc, nw), _ = jax.lax.scan(body, init, (offs, log_sw))
+    if params.uniform_alpha:
+        wc = jnp.concatenate([wc, img[..., 3:] * nw[..., None]], axis=-1)
     return wc / nw[..., None]
 
 
@@ -107,10 +111,13 @@ def cross_bilateral_layers_xla(
             d = d.at[..., 2].set(0.0)
         ssd = jnp.sum(d * d, axis=-1)
         wgt = jnp.exp(lsw - ssd * inv2sc)
-        return (wc + tap_t * wgt[..., None], nw + wgt), None
+        return (wc + tap_t[..., :nch] * wgt[..., None], nw + wgt), None
 
-    init = (jnp.zeros((h, w, 4), jnp.float32), jnp.zeros((h, w), jnp.float32))
+    nch = 3 if params.uniform_alpha else 4
+    init = (jnp.zeros((h, w, nch), jnp.float32), jnp.zeros((h, w), jnp.float32))
     (wc, nw), _ = jax.lax.scan(body, init, (offs, log_sw))
+    if params.uniform_alpha:
+        wc = jnp.concatenate([wc, target[..., 3:] * nw[..., None]], axis=-1)
     return wc, nw
 
 
@@ -158,13 +165,19 @@ def nlm_xla(
         )
         wgt = jnp.exp(-ssd * inv_h2)
         tap = jax.lax.dynamic_slice(pn, (off[0] + p, off[1] + p, 0), (h, w, 4))
-        return (wc + tap * wgt[..., None], nw + wgt), None
+        return (wc + tap[..., :nch] * wgt[..., None], nw + wgt), None
 
+    nch = 3 if params.uniform_alpha else 4
     init = (
-        jnp.zeros((h, w, 4), jnp.float32),
+        jnp.zeros((h, w, nch), jnp.float32),
         jnp.full((h, w), params.norm_seed, jnp.float32),
     )
     (wc, nw), _ = jax.lax.scan(body, init, offs)
+    if params.uniform_alpha:
+        # seed is not alpha-weighted (shaders/nonlocal.comp:32, 61)
+        wc = jnp.concatenate(
+            [wc, neighbour[..., 3:] * (nw - params.norm_seed)[..., None]], axis=-1
+        )
     return wc, nw
 
 

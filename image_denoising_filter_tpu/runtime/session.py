@@ -150,6 +150,21 @@ class Session:
         )
         target_host = self._load(ds.target)
 
+        # Exact uniform-alpha fast path: when the target's alpha channel is a
+        # single constant, sum(w*a) == a*sum(w), so kernels skip the per-tap
+        # alpha accumulation. Applied where the alpha taps provably come from
+        # the target (bilateral, layers, single-frame NLM); multiframe keeps
+        # the user's setting since neighbor frames stream in lazily.
+        a = target_host[..., 3]
+        ua = bool(a.min() == a.max())
+        bilateral_params = dataclasses.replace(self.bilateral_params, uniform_alpha=ua) if ua else self.bilateral_params
+        layers_params = dataclasses.replace(self.layers_params, uniform_alpha=ua) if ua else self.layers_params
+        nlm_single_params = (
+            dataclasses.replace(self.nlm_params, uniform_alpha=True)
+            if ua and not cfg.multiframe
+            else self.nlm_params
+        )
+
         with report.transfer():
             target_dev = jax.device_put(target_host)
 
@@ -158,11 +173,11 @@ class Session:
         if self.mesh is not None and not cfg.linear:
             out_dev = self._run_sharded(target_dev, ds, report, cfg)
         elif cfg.use_layers:
-            out_dev = self._run_layers(target_dev, ds, report, layout)
+            out_dev = self._run_layers(target_dev, ds, report, layout, layers_params)
         elif cfg.nlm and cfg.multiframe:
             out_dev = self._run_multiframe(target_dev, ds, report, layout, cfg)
         elif cfg.nlm:
-            model = NlmDenoiser(self.nlm_params, layout=layout, tiling=self.tiling)
+            model = NlmDenoiser(nlm_single_params, layout=layout, tiling=self.tiling)
             if self.warmup:
                 _fence(model(target_dev))
             with report.execute():
@@ -170,7 +185,7 @@ class Session:
                 _fence(out_dev)
         else:
             model = BilateralDenoiser(
-                self.bilateral_params, layout=layout, tiling=self.tiling
+                bilateral_params, layout=layout, tiling=self.tiling
             )
             if self.warmup:
                 _fence(model(target_dev))
@@ -300,12 +315,12 @@ class Session:
                     f"{nw[y, x]:.6g}"
                 )
 
-    def _run_layers(self, target_dev, ds, report, layout):
+    def _run_layers(self, target_dev, ds, report, layout, layers_params=None):
         """Per-layer accumulate then normalize (src/main.cpp:1608-1624,
         1649-1652). Layers are always LDR (loaded with a_isHDR=false,
         src/main.cpp:1396)."""
         model = LayerGuidedDenoiser(
-            self.layers_params, layout=layout, tiling=self.tiling
+            layers_params or self.layers_params, layout=layout, tiling=self.tiling
         )
         layers_host = [self._load(p) for p in ds.layers]
         if not layers_host:

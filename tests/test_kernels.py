@@ -187,3 +187,25 @@ def test_bilateral_window_larger_than_image(rng):
     got = np.asarray(bilateral(img, p))
     want = ref.bilateral_reference(img, p)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", [bilateral, bilateral_xla])
+def test_bilateral_uniform_alpha_exact(img, impl):
+    """The uniform-alpha fast path must match the full kernel exactly when
+    alpha is one constant (sum(w*a) == a*sum(w))."""
+    img = img.copy()
+    img[..., 3] = 0.625
+    full = np.asarray(impl(img, BP))
+    fast = np.asarray(impl(img, BilateralParams(radius=3, uniform_alpha=True)))
+    np.testing.assert_allclose(fast, full, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("impl", [nlm_accumulate, nlm_xla])
+def test_nlm_uniform_alpha_exact(img, img2, impl):
+    img2 = img2.copy()
+    img2[..., 3] = 1.0
+    wc_full, nw_full = impl(img, img2, NP_)
+    p = NlmParams(search_radius=2, patch_radius=1, uniform_alpha=True)
+    wc_fast, nw_fast = impl(img, img2, p)
+    np.testing.assert_allclose(np.asarray(wc_fast), np.asarray(wc_full), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(nw_fast), np.asarray(nw_full), rtol=1e-6)
