@@ -232,11 +232,16 @@ def _bilateral_kernel(
         # sum(w * a) == a * sum(w) when alpha is one constant everywhere.
         wc3 = img_tile[3, rh : rh + th, lh : lh + tw] * nw
     if fuse_normalize:
-        inv = 1.0 / nw
-        out_wc_ref[0] = wc0 * inv
-        out_wc_ref[1] = wc1 * inv
-        out_wc_ref[2] = wc2 * inv
-        out_wc_ref[3] = wc3 * inv
+        # NOTE: the VPU has no exact divider -- x/nw lowers to a Newton-
+        # Raphson reciprocal, so x/x can land 1 ulp under 1.0 and the
+        # unclamped 255*x truncation cast then yields 254 for a constant-1.0
+        # channel. GLSL division carries the same 2.5-ulp Vulkan tolerance
+        # (the reference's own GPU output is hardware-dependent here); use
+        # imageio.quantize(clamp=True) when exact 255s matter.
+        out_wc_ref[0] = wc0 / nw
+        out_wc_ref[1] = wc1 / nw
+        out_wc_ref[2] = wc2 / nw
+        out_wc_ref[3] = wc3 / nw
     else:
         out_wc_ref[0] = wc0
         out_wc_ref[1] = wc1
@@ -534,9 +539,9 @@ def nlm_accumulate(
 def _normalize_kernel(wc_ref, nw_ref, out_ref, *, sentinel):
     nw = nw_ref[0]
     zero = nw == 0.0
-    inv = 1.0 / jnp.where(zero, 1.0, nw)
+    safe = jnp.where(zero, 1.0, nw)
     for c in range(4):
-        out_ref[c] = jnp.where(zero, jnp.float32(sentinel[c]), wc_ref[c] * inv)
+        out_ref[c] = jnp.where(zero, jnp.float32(sentinel[c]), wc_ref[c] / safe)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))

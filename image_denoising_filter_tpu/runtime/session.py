@@ -171,7 +171,9 @@ class Session:
         layout = LINEAR if cfg.linear else TILED
 
         if self.mesh is not None and not cfg.linear:
-            out_dev = self._run_sharded(target_dev, ds, report, cfg)
+            out_dev = self._run_sharded(
+                target_dev, ds, report, cfg, bilateral_params, layers_params, nlm_single_params
+            )
         elif cfg.use_layers:
             out_dev = self._run_layers(target_dev, ds, report, layout, layers_params)
         elif cfg.nlm and cfg.multiframe:
@@ -221,23 +223,22 @@ class Session:
             return img, h
         return jnp.pad(img, ((0, ph), (0, 0), (0, 0)), mode=mode), h
 
-    def _run_sharded(self, target_dev, ds, report, cfg):
+    def _run_sharded(self, target_dev, ds, report, cfg, bp, lp, nlm_single):
         """Multi-chip dispatch: spatial row sharding (+ frame DP for
         multiframe NLM)."""
         if cfg.use_layers:
-            halo, border = self.layers_params.effective_radius, self.layers_params.border
+            halo, border = lp.effective_radius, lp.border
         elif cfg.nlm:
             halo, border = self.nlm_params.halo, self.nlm_params.border
         else:
-            halo = self.bilateral_params.effective_radius
-            border = self.bilateral_params.border
+            halo, border = bp.effective_radius, bp.border
         tgt, h = self._pad_rows(target_dev, halo, border)
         if cfg.use_layers:
             wc = nw = None
             for p in ds.layers:
                 layer, _ = self._pad_rows(jax.device_put(self._load(p)), halo, border)
                 pwc, pnw = spatial_cross_bilateral_layers(
-                    tgt, layer, self.layers_params, self.mesh, self.tiling
+                    tgt, layer, lp, self.mesh, self.tiling
                 )
                 wc = pwc if wc is None else wc + pwc
                 nw = pnw if nw is None else nw + pnw
@@ -293,13 +294,13 @@ class Session:
 
             with report.execute():
                 wc, nw = spatial_nlm_accumulate(
-                    tgt, tgt, self.nlm_params, self.mesh, self.tiling
+                    tgt, tgt, nlm_single, self.mesh, self.tiling
                 )
                 out = norm_op(wc, nw)
                 _fence(out)
             return out[:h]
         with report.execute():
-            out = spatial_bilateral(tgt, self.bilateral_params, self.mesh, self.tiling)
+            out = spatial_bilateral(tgt, bp, self.mesh, self.tiling)
             _fence(out)
         return out[:h]
 
