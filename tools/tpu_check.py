@@ -17,6 +17,10 @@ def main() -> int:
     ap.add_argument("--size", default="small", choices=["small", "1080p", "4k"])
     ap.add_argument("--check", action="store_true", help="compare vs NumPy oracle")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument(
+        "--temporal", type=int, default=0, metavar="F",
+        help="also time the flagship temporal-NLM pipeline over F frames",
+    )
     args = ap.parse_args()
 
     import jax
@@ -76,6 +80,30 @@ def main() -> int:
         dimg2,
         dimg,
     )
+
+    if args.temporal:
+        from image_denoising_filter_tpu.models import TemporalNlmDenoiser
+
+        frames = jax.device_put(
+            rng.uniform(0, 1, (args.temporal, h, w, 4)).astype(np.float32)
+        )
+        model = TemporalNlmDenoiser(nlp)
+
+        def run_temporal(iters=2):
+            fence = jax.jit(lambda t, f: jnp.sum(model(t, f)[0, 0]))
+            float(fence(dimg, frames))
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                float(fence(dimg, frames))
+            return (time.perf_counter() - t0) / iters
+
+        dt = run_temporal()
+        fps = 1.0 / dt
+        print(
+            f"temporal NLM {args.temporal}f {args.size:6s} {dt * 1e3:9.1f} ms   "
+            f"{fps:6.2f} denoised frames/s   "
+            f"{args.temporal * h * w / dt / 1e6:8.1f} Mpix/s accumulated"
+        )
 
     if args.check:
         want = ref.bilateral_reference(img, bp)
