@@ -151,17 +151,33 @@ class Session:
         target_host = self._load(ds.target)
 
         # Exact uniform-alpha fast path: when the target's alpha channel is a
-        # single constant, sum(w*a) == a*sum(w), so kernels skip the per-tap
-        # alpha accumulation. Applied where the alpha taps provably come from
-        # the target (bilateral, layers, single-frame NLM); multiframe keeps
-        # the user's setting since neighbor frames stream in lazily.
+        # single constant AND the border policy is CLAMP (edge padding
+        # preserves the constant; ZERO padding injects alpha-0 taps with
+        # nonzero weight, breaking sum(w*a) == a*sum(w) at borders), kernels
+        # skip the per-tap alpha accumulation. Applied where the alpha taps
+        # provably come from the target (bilateral, layers, single-frame NLM);
+        # multiframe keeps the user's setting since frames stream in lazily.
+        from ..config import BorderPolicy
+
         a = target_host[..., 3]
         ua = bool(a.min() == a.max())
-        bilateral_params = dataclasses.replace(self.bilateral_params, uniform_alpha=ua) if ua else self.bilateral_params
-        layers_params = dataclasses.replace(self.layers_params, uniform_alpha=ua) if ua else self.layers_params
+
+        def _ua_ok(params):
+            return ua and params.border == BorderPolicy.CLAMP and not params.uniform_alpha
+
+        bilateral_params = (
+            dataclasses.replace(self.bilateral_params, uniform_alpha=True)
+            if _ua_ok(self.bilateral_params)
+            else self.bilateral_params
+        )
+        layers_params = (
+            dataclasses.replace(self.layers_params, uniform_alpha=True)
+            if _ua_ok(self.layers_params)
+            else self.layers_params
+        )
         nlm_single_params = (
             dataclasses.replace(self.nlm_params, uniform_alpha=True)
-            if ua and not cfg.multiframe
+            if _ua_ok(self.nlm_params) and not cfg.multiframe
             else self.nlm_params
         )
 
@@ -229,7 +245,9 @@ class Session:
         if cfg.use_layers:
             halo, border = lp.effective_radius, lp.border
         elif cfg.nlm:
-            halo, border = self.nlm_params.halo, self.nlm_params.border
+            # nlm_single == self.nlm_params for multiframe configs (run()
+            # only auto-adjusts it for single-frame NLM)
+            halo, border = nlm_single.halo, nlm_single.border
         else:
             halo, border = bp.effective_radius, bp.border
         tgt, h = self._pad_rows(target_dev, halo, border)
@@ -316,12 +334,12 @@ class Session:
                     f"{nw[y, x]:.6g}"
                 )
 
-    def _run_layers(self, target_dev, ds, report, layout, layers_params=None):
+    def _run_layers(self, target_dev, ds, report, layout, layers_params):
         """Per-layer accumulate then normalize (src/main.cpp:1608-1624,
         1649-1652). Layers are always LDR (loaded with a_isHDR=false,
         src/main.cpp:1396)."""
         model = LayerGuidedDenoiser(
-            layers_params or self.layers_params, layout=layout, tiling=self.tiling
+            layers_params, layout=layout, tiling=self.tiling
         )
         layers_host = [self._load(p) for p in ds.layers]
         if not layers_host:

@@ -80,7 +80,7 @@ def test_compare_tool(tmp_path, capsys):
 
     import numpy as np
 
-    _sys.path.insert(0, "tools")
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     try:
         import compare
     finally:

@@ -78,7 +78,7 @@ def test_debug_weights_dump(tmp_path, capsys):
 
 
 def test_make_dataset_tool(tmp_path):
-    sys.path.insert(0, "tools")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     try:
         import make_dataset
     finally:
@@ -101,7 +101,7 @@ def test_make_dataset_tool(tmp_path):
 
 
 def test_make_dataset_hdr(tmp_path):
-    sys.path.insert(0, "tools")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     try:
         import make_dataset
     finally:

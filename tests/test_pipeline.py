@@ -187,3 +187,22 @@ def test_session_hdr_roundtrip(tmp_path):
     assert hdr
     # Alpha: constant 0.5 in, so weighted mean alpha == 0.5 out.
     np.testing.assert_allclose(out[..., 3], 0.5, atol=1e-5)
+
+
+def test_uniform_alpha_not_applied_with_zero_border(tmp_path):
+    """ZERO border injects alpha-0 taps with nonzero weight, so the
+    uniform-alpha fast path would corrupt border alpha -- Session must not
+    auto-enable it (code-review regression test)."""
+    from image_denoising_filter_tpu.config import BorderPolicy
+    from image_denoising_filter_tpu.ops import reference as ref_ops
+
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0, 1, (24, 32, 4)).astype(np.float32)
+    img[..., 3] = 1.0  # constant alpha triggers the auto-detect
+    target = str(tmp_path / "z_0000.png")
+    imageio.save(target, img)
+    img_q = imageio.to_float(imageio.quantize(img))
+    p = BilateralParams(radius=3, border=BorderPolicy.ZERO)
+    r = Session(target, bilateral_params=p, output_dir=str(tmp_path)).run(RunConfig())
+    want = ref_ops.bilateral_reference(img_q, p)
+    np.testing.assert_allclose(r.image, want, rtol=1e-4, atol=1e-5)

@@ -38,6 +38,12 @@ def main(argv=None) -> int:
         return 1
     if args.interior:
         n = args.interior
+        if 2 * n >= min(a.shape[0], a.shape[1]):
+            print(
+                f"--interior {n} leaves no pixels on a "
+                f"{a.shape[0]}x{a.shape[1]} image", file=sys.stderr,
+            )
+            return 1
         a, b = a[n:-n, n:-n], b[n:-n, n:-n]
     nch = 3 if args.channels == "rgb" else 4
     a, b = a[..., :nch], b[..., :nch]
