@@ -372,10 +372,39 @@ class Session:
         frame-by-frame, like the reference's non-overlapped loop.
         """
         model = TemporalNlmDenoiser(self.nlm_params, layout=layout, tiling=self.tiling)
+        # Per-frame uniform-alpha fast path (non-overlap loop only, where the
+        # host array is at hand): a frame whose alpha is one constant takes
+        # the fast kernel; mixing fast/slow per-frame partials stays exact
+        # because each frame's partial is exact. CLAMP border required (see
+        # run()); the overlap path streams device arrays, so it keeps the
+        # configured kernel.
+        from ..config import BorderPolicy
+
+        fast_ok = (
+            self.nlm_params.border == BorderPolicy.CLAMP
+            and not self.nlm_params.uniform_alpha
+        )
+        model_fast = (
+            TemporalNlmDenoiser(
+                dataclasses.replace(self.nlm_params, uniform_alpha=True),
+                layout=layout,
+                tiling=self.tiling,
+            )
+            if fast_ok
+            else model
+        )
+
+        def pick_model(frame_host):
+            a = frame_host[..., 3]
+            return model_fast if fast_ok and a.min() == a.max() else model
+
         if self.warmup:
-            warm = model.accumulate_one(target_dev, target_dev, None)
-            warm = model.accumulate_one(target_dev, target_dev, warm)  # +carry path
-            _fence(model.finalize(warm))
+            # Warm the variant the target's own alpha selects (the common
+            # case: all frames share it); the other compiles on first use.
+            wmodel = pick_model(np.asarray(target_dev))
+            warm = wmodel.accumulate_one(target_dev, target_dev, None)
+            warm = wmodel.accumulate_one(target_dev, target_dev, warm)  # +carry path
+            _fence(wmodel.finalize(warm))
         carry = None
         bar = ProgressBar(label="frames")
         if cfg.overlap:
@@ -404,11 +433,12 @@ class Session:
         else:
             for i, p in enumerate(ds.frames):
                 host = self._load(p)
+                fmodel = pick_model(host)
                 with report.transfer():
                     frame_dev = jax.device_put(host)
                     jax.block_until_ready(frame_dev)
                 with report.execute():
-                    carry = model.accumulate_one(target_dev, frame_dev, carry)
+                    carry = fmodel.accumulate_one(target_dev, frame_dev, carry)
                     _fence(carry[1])
                 bar.progress(i + 1, len(ds.frames))
             bar.finish()

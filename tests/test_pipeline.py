@@ -206,3 +206,37 @@ def test_uniform_alpha_not_applied_with_zero_border(tmp_path):
     r = Session(target, bilateral_params=p, output_dir=str(tmp_path)).run(RunConfig())
     want = ref_ops.bilateral_reference(img_q, p)
     np.testing.assert_allclose(r.image, want, rtol=1e-4, atol=1e-5)
+
+
+def test_multiframe_mixed_alpha_frames_exact(tmp_path):
+    """Per-frame uniform-alpha selection: constant-alpha frames take the fast
+    kernel, a varying-alpha frame takes the full kernel, and the mixed
+    accumulation must equal the all-full-path temporal model."""
+    root = str(tmp_path / "mix")
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(11)
+    frames = []
+    for i in range(3):
+        f = _frame(i)
+        if i == 2:
+            f = f.copy()
+            f[..., 3] = rng.uniform(0, 1, f.shape[:2]).astype(np.float32)
+        frames.append(f)
+        imageio.save(f"{root}/frame_{i:04d}.png", f)
+    target = f"{root}/frame_0001.png"
+    # separate output dir: outputs written into the frames dir would be
+    # discovered as frames by the later discover() (the reference has the
+    # same hazard when run from inside the dataset directory)
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir, exist_ok=True)
+    session = Session(target, nlm_params=NP_, output_dir=out_dir)
+    got = session.run(RunConfig(nlm=True, multiframe=True)).image
+
+    from image_denoising_filter_tpu.utils import dataset as dataset_mod
+
+    ds = dataset_mod.discover(target, multiframe=True, max_frames=None)
+    timg, _ = imageio.load(target)
+    stack = np.stack([imageio.load(p)[0] for p in ds.frames])
+    model = TemporalNlmDenoiser(NP_)  # full path everywhere
+    want = np.asarray(model(timg, stack))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
