@@ -9,6 +9,7 @@ Three interchangeable implementations of each kernel:
   * `reference.*` -- NumPy oracles (the test ground truth).
 """
 
+from .fast import bilateral_fast  # noqa: F401
 from .stencils import (  # noqa: F401
     bilateral,
     cross_bilateral_layers,
