@@ -99,40 +99,21 @@ def bilateral_fast(
 
     # Build the grid at LOW resolution: guide + payload from the pooled image.
     small = _downsample(planar_p, d) if d > 1 else planar_p  # (4, hs, ws)
-    rgb_s = small[:3]
-    level_vals = lmin[:, None] + step[:, None] * jnp.arange(
-        levels, dtype=jnp.float32
-    )  # (3, K)
-    diff = rgb_s[:, None] - level_vals[:, :, None, None]
-    wk = jnp.exp(-(diff * diff) * inv2sc)  # (3, K, hs, ws)
-
-    num_rgb = wk * rgb_s[:, None]  # (3, K, hs, ws)
-    num_a = wk[1] * small[3][None]  # (K, hs, ws)
-
     taps = _gauss_taps(sigma_s / d, max(1, int(math.ceil(r / d))))
-    num_rgb = _sep_blur(num_rgb, taps, params.border)
-    num_a = _sep_blur(num_a, taps, params.border)
-    den = _sep_blur(wk, taps, params.border)
-    safe = jnp.maximum(den, 1e-20)
-    out_rgb_k = num_rgb / safe  # (3, K, hs, ws)
-    out_a_k = num_a / safe[1]  # (K, hs, ws)
 
-    # Slice the grid: per-pixel tent interpolation across levels fused with
-    # the bilinear spatial upsampling, out = sum_k tent_k(t) * up(out_k).
     tile_h, tile_w = 128, 512
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu and d > 1:
-        # Fused Pallas epilogue (upsample as MXU banded matmuls).
+        # Fused Pallas pipeline: grid construction (range weights + blur +
+        # normalize per level, one HBM read/write) then grid slicing (tent
+        # interp fused with MXU-matmul bilinear upsampling).
+        grid_k = _build_grid_pallas(
+            small, lmin, step, levels, taps, params.border, inv2sc
+        )
+        grid_k = jnp.pad(grid_k, ((0, 0), (1, 1), (1, 1)), mode="edge")
         hp2 = -(-h // tile_h) * tile_h
         wp2 = -(-w // tile_w) * tile_w
-        guide = jnp.pad(
-            rgb, ((0, 0), (0, hp2 - h), (0, wp2 - w)), mode=mode
-        )
-        # (K, 4, hs, ws) -> (4K, hs, ws), edge-padded by one cell each side.
-        grid_k = jnp.concatenate(
-            [jnp.swapaxes(out_rgb_k, 0, 1), out_a_k[:, None]], axis=1
-        ).reshape(4 * levels, *out_a_k.shape[1:])
-        grid_k = jnp.pad(grid_k, ((0, 0), (1, 1), (1, 1)), mode="edge")
+        guide = jnp.pad(rgb, ((0, 0), (0, hp2 - h), (0, wp2 - w)), mode=mode)
         out = _slice_grid_pallas(
             guide,
             grid_k,
@@ -144,6 +125,23 @@ def bilateral_fast(
             tile_w,
         )[:, :h, :w]
         return jnp.transpose(out, (1, 2, 0))
+
+    rgb_s = small[:3]
+    level_vals = lmin[:, None] + step[:, None] * jnp.arange(
+        levels, dtype=jnp.float32
+    )  # (3, K)
+    diff = rgb_s[:, None] - level_vals[:, :, None, None]
+    wk = jnp.exp(-(diff * diff) * inv2sc)  # (3, K, hs, ws)
+
+    num_rgb = wk * rgb_s[:, None]  # (3, K, hs, ws)
+    num_a = wk[1] * small[3][None]  # (K, hs, ws)
+
+    num_rgb = _sep_blur(num_rgb, taps, params.border)
+    num_a = _sep_blur(num_a, taps, params.border)
+    den = _sep_blur(wk, taps, params.border)
+    safe = jnp.maximum(den, 1e-20)
+    out_rgb_k = num_rgb / safe  # (3, K, hs, ws)
+    out_a_k = num_a / safe[1]  # (K, hs, ws)
 
     t = (rgb - lmin[:, None, None]) / step[:, None, None]  # (3, H, W) in [0, K-1]
     out_rgb = jnp.zeros((3, h, w), jnp.float32)
@@ -274,3 +272,95 @@ def _slice_grid_pallas(
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(guide, grid_p, lim, u_mat, v_mat)
+
+
+# ---------------------------------------------------------------------------
+# Fused grid-construction kernel (TPU): per intensity level, the range weights,
+# payload products, exact separable spatial blur, and normalization all happen
+# in VMEM on one halo tile -- one HBM read of the pooled image and one write of
+# the grid, instead of XLA materializing every blur tap across 32 planes.
+# ---------------------------------------------------------------------------
+
+
+def _build_grid_pallas(
+    small: jnp.ndarray,  # (4, hs, ws) pooled image
+    lmin: jnp.ndarray,  # (3,)
+    step: jnp.ndarray,  # (3,)
+    levels: int,
+    taps: np.ndarray,
+    border: str,
+    inv2sc: float,
+    tile_h: int = 128,
+    tile_w: int = 512,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _, hs, ws = small.shape
+    r = (len(taps) - 1) // 2
+    rh = -(-r // 4) * 4
+    lh = 128
+    th = min(tile_h, -(-hs // 8) * 8)
+    tw = min(tile_w, -(-ws // 128) * 128)
+    nh, nw = -(-hs // th), -(-ws // tw)
+    mode = "edge" if border == BorderPolicy.CLAMP else "constant"
+    padded = jnp.pad(
+        small,
+        ((0, 0), (rh, rh + nh * th - hs), (lh, lh + nw * tw - ws)),
+        mode=mode,
+    )
+    lim = jnp.stack([lmin, step], axis=1)  # (3, 2)
+    eh, ew = th + 2 * r, tw + 2 * r  # extended region for the separable blur
+
+    def kern(small_hbm, lim_ref, out_ref, tile, sem):
+        i, j = pl.program_id(0), pl.program_id(1)
+        cp = pltpu.make_async_copy(
+            small_hbm.at[:, pl.ds(i * th, th + 2 * rh), pl.ds(j * tw, tw + 2 * lh)],
+            tile,
+            sem,
+        )
+        cp.start()
+        cp.wait()
+        r0, c0 = rh - r, lh - r
+        ext = [tile[c, r0 : r0 + eh, c0 : c0 + ew] for c in range(4)]
+
+        def blur(x):
+            # rows: (eh, ew) -> (th, ew); cols: -> (th, tw); static taps
+            acc = np.float32(taps[0]) * x[0:th]
+            for a in range(1, len(taps)):
+                acc = acc + np.float32(taps[a]) * x[a : a + th]
+            out = np.float32(taps[0]) * acc[:, 0:tw]
+            for b in range(1, len(taps)):
+                out = out + np.float32(taps[b]) * acc[:, b : b + tw]
+            return out
+
+        for k in range(levels):
+            den = [None] * 3
+            num = [None] * 3
+            for c in range(3):
+                lv = lim_ref[c, 0] + lim_ref[c, 1] * np.float32(k)
+                dcol = ext[c] - lv
+                wk = jnp.exp(-(dcol * dcol) * jnp.float32(inv2sc))
+                den[c] = blur(wk)
+                num[c] = blur(wk * ext[c])
+                if c == 1:
+                    na = blur(wk * ext[3])
+            for c in range(3):
+                out_ref[4 * k + c] = num[c] / jnp.maximum(den[c], 1e-20)
+            out_ref[4 * k + 3] = na / jnp.maximum(den[1], 1e-20)
+
+    return pl.pallas_call(
+        kern,
+        grid=(nh, nw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((3, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((4 * levels, th, tw), lambda i, j: (0, i, j)),
+        out_shape=jax.ShapeDtypeStruct((4 * levels, hs, ws), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((4, th + 2 * rh, tw + 2 * lh), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+    )(padded, lim)
