@@ -71,6 +71,13 @@ def main() -> None:
     mpix_b = h * w / dt_b / 1e6
     mpix_n = h * w / dt_n / 1e6
 
+    # Informational: the opt-in approximate turbo mode (per-channel bilateral
+    # grid, ~44 dB vs the exact kernel on noisy natural content).
+    from image_denoising_filter_tpu.ops import bilateral_fast
+
+    dt_t = slope_time(lambda x: bilateral_fast(x, bp, 8, 2), img)
+    mpix_t = h * w / dt_t / 1e6
+
     # PSNR parity: our kernel in CPU-reference-params mode vs the CPU oracle
     # (interior only -- the CPU path zeroes a radius-wide border,
     # src/main.cpp:1823-1828).
@@ -101,6 +108,7 @@ def main() -> None:
                 "vs_baseline": round(vs_baseline, 4),
                 "bilateral_4k_mpix_s": round(mpix_b, 1),
                 "nlm_4k_mpix_s": round(mpix_n, 1),
+                "turbo_d2_4k_mpix_s": round(mpix_t, 1),
                 "psnr_parity_db": round(psnr, 1),
             }
         )
