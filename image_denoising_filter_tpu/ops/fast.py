@@ -15,9 +15,12 @@ in tests:
     levels -- dense ops only, no scatter/gather, so XLA keeps the whole thing
     on fused vector loops.
 
-Quality on noisy natural-image content: ~45-50 dB vs the exact kernel and
+Quality on noisy natural-image content: ~44-50 dB vs the exact kernel and
 denoising PSNR on par with it (the per-channel kernel discriminates chroma
-noise exactly as well); see tests/test_fast.py.
+noise exactly as well); see tests/test_fast.py. Content-dependence caveat: on
+full-range iid noise (no structure) a grid method necessarily diverges from
+the exact filter, which barely smooths such input -- turbo targets real
+renders/photos, not white noise.
 """
 
 from __future__ import annotations

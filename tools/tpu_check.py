@@ -112,6 +112,31 @@ def main() -> int:
         )
 
     if args.check:
+        # fused turbo pipeline (TPU-only branch) vs the exact oracle, on
+        # structured noisy content (its use case; on iid full-range noise any
+        # grid method scores low because the exact filter barely smooths)
+        from image_denoising_filter_tpu.ops import bilateral_fast
+
+        th_, tw_ = 256, 640
+        yy, xx = np.mgrid[0:th_, 0:tw_].astype(np.float32)
+        scene = np.stack(
+            [
+                0.5 + 0.35 * np.sin(xx / 25),
+                0.45 + 0.35 * np.cos(yy / 20),
+                np.where((xx // 48 + yy // 32) % 2 == 0, 0.75, 0.25).astype(np.float32),
+                np.ones((th_, tw_), np.float32),
+            ],
+            -1,
+        )
+        noisy = np.clip(
+            scene + rng.normal(0, 0.06, scene.shape) * [1, 1, 1, 0], 0, 1
+        ).astype(np.float32)
+        tgot = np.asarray(bilateral_fast(jax.device_put(noisy), bp, 8, 2))
+        twant = ref.bilateral_reference(noisy, bp)
+        tdb = ref.psnr(tgot[..., :3], twant[..., :3])
+        status = "OK" if tdb >= 35.0 else "LOW"
+        print(f"turbo (fused) vs exact oracle: {tdb:.1f} dB [{status}]")
+
         want = ref.bilateral_reference(img, bp)
         err = np.abs(np.asarray(out_b) - want).max()
         ps = ref.psnr(np.asarray(out_b), want)
