@@ -133,7 +133,11 @@ bool zlib_inflate(const uint8_t* src, size_t n, std::vector<uint8_t>& dst) {
       return false;
     }
     dst.insert(dst.end(), buf.data(), buf.data() + (buf.size() - zs.avail_out));
-  } while (ret != Z_STREAM_END && zs.avail_in > 0);
+    // Continue while the stream isn't finished and this call filled the whole
+    // output buffer: decompressed bytes can still be pending inside zlib even
+    // after the last input byte is consumed, so gating on avail_in would
+    // spuriously fail exactly when input runs out on a full output buffer.
+  } while (ret != Z_STREAM_END && zs.avail_out == 0);
   inflateEnd(&zs);
   return ret == Z_STREAM_END;
 }
@@ -428,47 +432,59 @@ int idf_exr_decode(const uint8_t* data, size_t size, float** out, int* out_w,
     return s;
   };
 
+  // Every file-provided size/offset below is untrusted: bound-check before
+  // use (a fuzzed/truncated EXR must fail with an error code, never read or
+  // write out of bounds).
   while (pos < size) {
     std::string name = read_str(pos);
     if (name.empty()) break;
     std::string type = read_str(pos);
+    if (pos + 4 > size) return 2;
     int32_t asize;
     std::memcpy(&asize, data + pos, 4);
     pos += 4;
+    if (asize < 0 || (size_t)asize > size - pos) return 2;
     const uint8_t* body = data + pos;
     pos += asize;
     if (name == "channels") {
       size_t cp = 0;
       while (cp < (size_t)asize && body[cp]) {
         std::string cname;
-        while (body[cp]) cname.push_back((char)body[cp++]);
+        while (cp < (size_t)asize && body[cp]) cname.push_back((char)body[cp++]);
         ++cp;
+        if (cp + 16 > (size_t)asize) return 2;  // truncated channel entry
         int32_t ptype;
         std::memcpy(&ptype, body + cp, 4);
         cp += 16;
+        if (ptype < 0 || ptype > 2) return 2;
         channels.push_back({cname, ptype});
       }
     } else if (name == "compression") {
+      if (asize < 1) return 2;
       compression = body[0];
     } else if (name == "dataWindow") {
+      if (asize < 16) return 2;
       std::memcpy(&xmin, body, 4);
       std::memcpy(&ymin, body + 4, 4);
       std::memcpy(&xmax, body + 8, 4);
       std::memcpy(&ymax, body + 12, 4);
     } else if (name == "lineOrder") {
+      if (asize < 1) return 2;
       line_order = body[0];
       (void)line_order;  // placement uses the absolute block-header y
     }
   }
   if (compression != 0 && compression != 2 && compression != 3) return 3;
-  const int w = xmax - xmin + 1, h = ymax - ymin + 1;
-  if (w <= 0 || h <= 0) return 4;
+  const int64_t w64 = (int64_t)xmax - xmin + 1, h64 = (int64_t)ymax - ymin + 1;
+  if (w64 <= 0 || h64 <= 0 || w64 * h64 > (int64_t)1 << 29) return 4;
+  const int w = (int)w64, h = (int)h64;
   const int lines_per_block = compression == 3 ? 16 : 1;
   const int nblocks = (h + lines_per_block - 1) / lines_per_block;
 
   size_t row_bytes = 0;
   for (auto& c : channels) row_bytes += (size_t)w * (c.ptype == 1 ? 2 : 4);
 
+  if ((size_t)8 * nblocks > size - pos) return 2;  // truncated offset table
   std::vector<int64_t> offsets(nblocks);
   std::memcpy(offsets.data(), data + pos, 8 * nblocks);
 
@@ -479,17 +495,29 @@ int idf_exr_decode(const uint8_t* data, size_t size, float** out, int* out_w,
     rgba[i * 4 + 3] = 1.f;
   }
   for (int b = 0; b < nblocks; ++b) {
+    if (offsets[b] < 0 || (uint64_t)offsets[b] + 8 > size) {
+      std::free(rgba);
+      return 6;
+    }
     const uint8_t* blk = data + offsets[b];
     int32_t y0;
     uint32_t bsize;
     std::memcpy(&y0, blk, 4);
     std::memcpy(&bsize, blk + 4, 4);
     y0 -= ymin;
+    if (y0 < 0 || y0 >= h || bsize > size - (size_t)offsets[b] - 8) {
+      std::free(rgba);
+      return 6;
+    }
     const int nlines = std::min(lines_per_block, h - y0);
     const size_t expected = row_bytes * nlines;
     std::vector<uint8_t> rawbuf;
     const uint8_t* raw;
     if (compression == 0 || bsize >= expected) {
+      if (expected > size - (size_t)offsets[b] - 8) {
+        std::free(rgba);
+        return 6;
+      }
       raw = blk + 8;
     } else {
       if (!zlib_inflate(blk + 8, bsize, rawbuf)) { std::free(rgba); return 6; }

@@ -77,3 +77,57 @@ def test_native_rejects_garbage():
         native.png_decode(b"not a png")
     with pytest.raises(ValueError):
         native.exr_decode(b"not an exr")
+
+
+def _decode_must_not_crash(blob: bytes) -> None:
+    try:
+        native.exr_decode(blob)
+    except ValueError:
+        pass  # rejecting is fine; crashing/OOB is not
+
+
+def test_native_exr_truncation_is_safe(rng):
+    """Every truncation of a valid EXR either decodes or raises ValueError."""
+    img = rng.normal(0, 1, (20, 24, 4)).astype(np.float32)
+    data = native.exr_encode(img, half=False, compression=3)
+    for n in range(0, len(data), 7):
+        _decode_must_not_crash(data[:n])
+
+
+def test_native_exr_corrupt_offsets_and_block_headers(rng):
+    """Bogus block offsets / block y0 (the raw-pointer hazards) are rejected."""
+    img = rng.normal(0, 1, (40, 16, 4)).astype(np.float32)
+    data = bytearray(native.exr_encode(img, half=True, compression=2))
+    # The offset table sits right before the first block; find it by locating
+    # the first block header (y0 == 0 as int32 at the first offset). Rather
+    # than parse, just smash every aligned int64 in the file with hostile
+    # values -- includes all offset-table entries and block y0/size fields.
+    hostile = [2**62, -1, len(data) - 1, len(data) + 10**6, -(2**31), 2**31 - 1]
+    for pos in range(8, min(len(data) - 8, 400), 8):
+        for v in hostile:
+            mut = bytearray(data)
+            mut[pos : pos + 8] = int(v & (2**64 - 1)).to_bytes(8, "little")
+            _decode_must_not_crash(bytes(mut))
+
+
+def test_native_exr_random_mutation_fuzz(rng):
+    img = rng.normal(0, 1, (16, 16, 4)).astype(np.float32)
+    base = native.exr_encode(img, half=False, compression=2)
+    for _ in range(300):
+        mut = bytearray(base)
+        for _ in range(int(rng.integers(1, 8))):
+            mut[int(rng.integers(0, len(mut)))] = int(rng.integers(0, 256))
+        _decode_must_not_crash(bytes(mut))
+
+
+def test_native_png_random_mutation_fuzz(rng):
+    img = rng.integers(0, 256, (16, 16, 4), dtype=np.uint8)
+    base = native.png_encode(img)
+    for _ in range(300):
+        mut = bytearray(base)
+        for _ in range(int(rng.integers(1, 8))):
+            mut[int(rng.integers(0, len(mut)))] = int(rng.integers(0, 256))
+        try:
+            native.png_decode(bytes(mut))
+        except ValueError:
+            pass
