@@ -122,6 +122,12 @@ class NlmParams:
     # Exact fast path when every input's alpha is one constant (see
     # BilateralParams.uniform_alpha); reconstructs wc_alpha = a * (nw - seed).
     uniform_alpha: bool = False
+    # APPROXIMATION knob (the NLM analog of the turbo bilateral): evaluate
+    # only every search_stride-th candidate offset along each search axis
+    # (offsets sdy, sdx in range(0, 2*search_radius, search_stride)).
+    # 1 = exact reference parity (all 196 candidates); 2 = 49 candidates,
+    # ~3.5x faster, quality measured in tests/test_fast.py and docs.
+    search_stride: int = 1
 
     @property
     def halo(self) -> int:

@@ -157,16 +157,19 @@ class TemporalNlmDenoiser:
     def accumulate(
         self, target: jnp.ndarray, frames: jnp.ndarray
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """Accumulated (weightColor, normWeight) over all frames."""
-        accumulate = (
-            ops.nlm_accumulate if self.layout == TILED else ops_xla.nlm_xla
-        )
-        args = (self.tiling,) if self.layout == TILED else ()
+        """Accumulated (weightColor, normWeight) over all frames.
+
+        Tiled layout: ONE frame-batched Pallas launch whose innermost grid axis
+        is the frame, keeping the weight accumulators VMEM-resident across
+        frames (the reference's persistent weights buffer,
+        src/main.cpp:1430-1433). Linear layout: per-frame scan."""
+        if self.layout == TILED:
+            return ops.nlm_accumulate_frames(target, frames, self.params, self.tiling)
         h, w, _ = target.shape
 
         def body(carry, frame):
             wc, nw = carry
-            pwc, pnw = accumulate(target, frame, self.params, *args)
+            pwc, pnw = ops_xla.nlm_xla(target, frame, self.params)
             return (wc + pwc, nw + pnw), None
 
         init = (

@@ -14,6 +14,7 @@ from .stencils import (  # noqa: F401
     bilateral,
     cross_bilateral_layers,
     nlm_accumulate,
+    nlm_accumulate_frames,
     normalize,
 )
 from .xla import (  # noqa: F401

@@ -181,8 +181,9 @@ def nlm_reference(
 
     weight_color = np.zeros((h, w, 4), np.float32)
     norm = np.full((h, w), params.norm_seed, np.float32)
-    for dy in range(-s, s):  # half-open: [-s, s) (shaders/nonlocal.comp:36)
-        for dx in range(-s, s):
+    st = params.search_stride  # 1 = exact parity; >1 = approximate subset
+    for dy in range(-s, s, st):  # half-open: [-s, s) (shaders/nonlocal.comp:36)
+        for dx in range(-s, s, st):
             ssd = np.zeros((h, w), np.float32)
             for j in range(-p, p):  # half-open: [-p, p) (shaders/nonlocal.comp:42)
                 for i in range(-p, p):

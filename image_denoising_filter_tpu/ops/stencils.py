@@ -356,6 +356,46 @@ def cross_bilateral_layers(
 # ---------------------------------------------------------------------------
 
 
+def _box_lanes(x: jnp.ndarray, k: int, out_w: int) -> jnp.ndarray:
+    """Sliding-window sum of width k along lanes via shift doubling:
+    out[:, j] = sum_{b<k} x[:, j+b] in ceil(log2 k) + popcount(k) - 1 adds
+    (3 for k=6) instead of the naive k-1 (5 for k=6)."""
+    sums = {1: x}
+    w = 1
+    while 2 * w <= k:
+        prev = sums[w]
+        length = prev.shape[1]
+        sums[2 * w] = prev[:, : length - w] + prev[:, w:length]
+        w *= 2
+    rem, off, acc = k, 0, None
+    while rem:
+        w = 1 << (rem.bit_length() - 1)
+        part = sums[w][:, off : off + out_w]
+        acc = part if acc is None else acc + part
+        off += w
+        rem -= w
+    return acc
+
+
+def _box_rows(x: jnp.ndarray, k: int, out_h: int) -> jnp.ndarray:
+    """Sliding-window sum of width k along rows (sublanes), shift doubling."""
+    sums = {1: x}
+    w = 1
+    while 2 * w <= k:
+        prev = sums[w]
+        length = prev.shape[0]
+        sums[2 * w] = prev[: length - w] + prev[w:length]
+        w *= 2
+    rem, off, acc = k, 0, None
+    while rem:
+        w = 1 << (rem.bit_length() - 1)
+        part = sums[w][off : off + out_h]
+        acc = part if acc is None else acc + part
+        off += w
+        rem -= w
+    return acc
+
+
 def _nlm_kernel(
     tgt_hbm,
     nbr_hbm,
@@ -376,22 +416,34 @@ def _nlm_kernel(
     inv_h2: float,
     norm_seed: float,
     uniform_alpha: bool,
+    stride: int,
+    cdtype,
 ):
+    """Frame-batched NLM accumulation. Grid (gh, gw, F): the frame axis is the
+    innermost (sequential) grid dimension, so the (weightColor, normWeight)
+    output blocks stay VMEM-resident across all frames of a tile -- the TPU
+    analog of the reference's persistent device-local weights buffer
+    (src/main.cpp:1430-1433, shaders/nonlocal.comp:61-62) -- instead of a
+    per-frame HBM round-trip of the partials."""
     halo = s + p
-    i, j = pl.program_id(0), pl.program_id(1)
-    cpt = pltpu.make_async_copy(
-        tgt_hbm.at[:, pl.ds(i * th, th + 2 * rht), pl.ds(j * tw, tw + 2 * lht)],
-        tgt_tile,
-        sem.at[0],
-    )
+    i, j, f = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(f == 0)
+    def _load_target():
+        cpt = pltpu.make_async_copy(
+            tgt_hbm.at[:, pl.ds(i * th, th + 2 * rht), pl.ds(j * tw, tw + 2 * lht)],
+            tgt_tile,
+            sem.at[0],
+        )
+        cpt.start()
+        cpt.wait()
+
     cpn = pltpu.make_async_copy(
-        nbr_hbm.at[:, pl.ds(i * th, th + 2 * rhn), pl.ds(j * tw, tw + 2 * lhn)],
+        nbr_hbm.at[f, :, pl.ds(i * th, th + 2 * rhn), pl.ds(j * tw, tw + 2 * lhn)],
         nbr_tile,
         sem.at[1],
     )
-    cpt.start()
     cpn.start()
-    cpt.wait()
     cpn.wait()
 
     # E (per-pixel squared diff) region: (eh, ew) starting at tile-relative
@@ -400,34 +452,31 @@ def _nlm_kernel(
     # (rhn - halo), lane (lhn - halo) + sdx (see ops/xla.py:nlm_xla for the
     # index derivation; the roll-carry absorbs sdy).
     eh, ew = th + 2 * p - 1, tw + 2 * p - 1
-    t0 = tgt_tile[0, rht - p : rht - p + eh, lht - p : lht - p + ew]
-    t1 = tgt_tile[1, rht - p : rht - p + eh, lht - p : lht - p + ew]
-    t2 = tgt_tile[2, rht - p : rht - p + eh, lht - p : lht - p + ew]
+    t0 = tgt_tile[0, rht - p : rht - p + eh, lht - p : lht - p + ew].astype(cdtype)
+    t1 = tgt_tile[1, rht - p : rht - p + eh, lht - p : lht - p + ew].astype(cdtype)
+    t2 = tgt_tile[2, rht - p : rht - p + eh, lht - p : lht - p + ew].astype(cdtype)
 
     erow = rhn - halo
     ecol = lhn - halo
     trow = rhn - s  # tap center row: erow + p
     tcol = lhn - s
+    n_carry = 3 if uniform_alpha else 4
 
-    def row_body(sdy, carry):
+    def row_body(step, carry):
         wc0, wc1, wc2, wc3, nw = carry[:5]
-        vn = carry[5:]  # neighbour planes, rolled up sdy rows
-        for sdx in range(2 * s):
+        vn = carry[5:]  # neighbour planes, rolled up step*stride rows
+        for sdx in range(0, 2 * s, stride):
             c0 = ecol + sdx
             n0 = vn[0][erow : erow + eh, c0 : c0 + ew]
             n1 = vn[1][erow : erow + eh, c0 : c0 + ew]
             n2 = vn[2][erow : erow + eh, c0 : c0 + ew]
-            d0 = t0 - n0
-            d1 = t1 - n1
-            d2 = t2 - n2
-            e = d0 * d0 + d1 * d1 + d2 * d2
-            # Separable 2p x 2p box sum of e -> patch SSD per tile pixel.
-            rs = e[:, 0:tw]
-            for b in range(1, 2 * p):
-                rs = rs + e[:, b : b + tw]
-            ssd = rs[0:th]
-            for a in range(1, 2 * p):
-                ssd = ssd + rs[a : a + th]
+            d0 = t0 - n0.astype(cdtype)
+            d1 = t1 - n1.astype(cdtype)
+            d2 = t2 - n2.astype(cdtype)
+            e = (d0 * d0 + d1 * d1 + d2 * d2).astype(jnp.float32)
+            # Separable 2p x 2p box sum of e -> patch SSD per tile pixel
+            # (log-tree sliding sums, rows then lanes).
+            ssd = _box_lanes(_box_rows(e, 2 * p, th), 2 * p, tw)
             wgt = jnp.exp(ssd * jnp.float32(-inv_h2))
             tc = tcol + sdx
             c0v = vn[0][trow : trow + th, tc : tc + tw]
@@ -440,51 +489,65 @@ def _nlm_kernel(
                 c3v = vn[3][trow : trow + th, tc : tc + tw]
                 wc3 = wc3 + c3v * wgt
             nw = nw + wgt
-        rolled = tuple(_roll_up(v) for v in vn)
+        rolled = tuple(
+            pltpu.roll(v, v.shape[0] - stride, axis=0) for v in vn
+        )
         return (wc0, wc1, wc2, wc3, nw, *rolled)
 
+    n_steps = -(-2 * s // stride)
     zero = jnp.zeros((th, tw), jnp.float32)
     seed = jnp.full((th, tw), norm_seed, jnp.float32)
-    init = (zero, zero, zero, zero, seed, *(nbr_tile[c] for c in range(4)))
-    out = jax.lax.fori_loop(0, 2 * s, row_body, init)
+    init = (zero, zero, zero, zero, seed, *(nbr_tile[c] for c in range(n_carry)))
+    out = jax.lax.fori_loop(0, n_steps, row_body, init)
     wc0, wc1, wc2, wc3, nw = out[:5]
     if uniform_alpha:
-        # tap alphas are one constant a: sum(w * a) = a * (nw - seed); the
-        # seed is not alpha-weighted (shaders/nonlocal.comp:32, 61).
+        # This frame's tap alphas are one constant a: sum(w * a) = a * (nw -
+        # seed); the seed is not alpha-weighted (shaders/nonlocal.comp:32, 61).
+        # Reconstructed per frame, so frames with different constants stay
+        # exact.
         alpha = nbr_tile[3, rhn : rhn + th, lhn : lhn + tw]
         wc3 = alpha * (nw - jnp.float32(norm_seed))
-    out_wc_ref[0] = wc0
-    out_wc_ref[1] = wc1
-    out_wc_ref[2] = wc2
-    out_wc_ref[3] = wc3
-    out_nw_ref[0] = nw
+
+    @pl.when(f == 0)
+    def _init_out():
+        out_wc_ref[0] = wc0
+        out_wc_ref[1] = wc1
+        out_wc_ref[2] = wc2
+        out_wc_ref[3] = wc3
+        out_nw_ref[0] = nw
+
+    @pl.when(f != 0)
+    def _accum_out():
+        out_wc_ref[0] += wc0
+        out_wc_ref[1] += wc1
+        out_wc_ref[2] += wc2
+        out_wc_ref[3] += wc3
+        out_nw_ref[0] += nw
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def nlm_accumulate(
-    target: jnp.ndarray,
-    neighbour: jnp.ndarray,
-    params: NlmParams = NlmParams(),
-    tiling: Optional[TilingConfig] = None,
+def _nlm_planar_frames(
+    tgt: jnp.ndarray,  # (4, H, W)
+    frames: jnp.ndarray,  # (F, 4, H, W)
+    params: NlmParams,
+    tiling: Optional[TilingConfig],
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """One frame's NLM accumulation (shaders/nonlocal.comp:30-65).
-
-    Returns (weightColor (H,W,4), normWeight (H,W)); normWeight is seeded with
-    params.norm_seed for this frame (nonlocal.comp:32). Sum partials across
-    frames and finish with normalize() for temporal multiframe NLM.
-    """
-    tgt = _to_planar(target)
-    nbr = _to_planar(neighbour)
     _, h, w = tgt.shape
+    n_frames = frames.shape[0]
     s, p = params.search_radius, params.patch_radius
-    halo = s + p
+    stride = params.search_stride
     rht, lht = _halos(p)
-    rhn, lhn = _halos(halo)
+    rhn, lhn = _halos(s + p)
     th, tw = _pick_tile(h, w, tiling, DEFAULT_TILE_H_NLM)
-    grid = (pl.cdiv(h, th), pl.cdiv(w, tw))
-    padded_t = _pad_planar(tgt, rht, lht, params.border, grid[0], th, grid[1], tw)
-    padded_n = _pad_planar(nbr, rhn, lhn, params.border, grid[0], th, grid[1], tw)
+    gh, gw = pl.cdiv(h, th), pl.cdiv(w, tw)
+    padded_t = _pad_planar(tgt, rht, lht, params.border, gh, th, gw, tw)
+    pad_f = jax.vmap(
+        lambda img: _pad_planar(img, rhn, lhn, params.border, gh, th, gw, tw)
+    )
+    padded_n = pad_f(frames)
 
+    cdtype = jnp.bfloat16 if (
+        tiling and tiling.compute_dtype == "bfloat16"
+    ) else jnp.float32
     kernel = functools.partial(
         _nlm_kernel,
         s=s,
@@ -498,18 +561,20 @@ def nlm_accumulate(
         inv_h2=1.0 / (params.h**2),
         norm_seed=params.norm_seed,
         uniform_alpha=params.uniform_alpha,
+        stride=stride,
+        cdtype=cdtype,
     )
-    n_offsets = (2 * s) ** 2
+    n_offsets = (-(-2 * s // stride)) ** 2
     wc, nw = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(gh, gw, n_frames),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((4, th, tw), lambda i, j: (0, i, j)),
-            pl.BlockSpec((1, th, tw), lambda i, j: (0, i, j)),
+            pl.BlockSpec((4, th, tw), lambda i, j, f: (0, i, j)),
+            pl.BlockSpec((1, th, tw), lambda i, j, f: (0, i, j)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((4, h, w), jnp.float32),
@@ -521,13 +586,58 @@ def nlm_accumulate(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=n_offsets * 30 * h * w,
-            bytes_accessed=4 * h * w * 4 * 3,
-            transcendentals=n_offsets * h * w,
+            flops=n_offsets * 22 * h * w * n_frames,
+            bytes_accessed=4 * h * w * 4 * (2 + n_frames),
+            transcendentals=n_offsets * h * w * n_frames,
         ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=_use_interpret(),
     )(padded_t, padded_n)
+    return wc, nw
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def nlm_accumulate(
+    target: jnp.ndarray,
+    neighbour: jnp.ndarray,
+    params: NlmParams = NlmParams(),
+    tiling: Optional[TilingConfig] = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One frame's NLM accumulation (shaders/nonlocal.comp:30-65).
+
+    Returns (weightColor (H,W,4), normWeight (H,W)); normWeight is seeded with
+    params.norm_seed for this frame (nonlocal.comp:32). Sum partials across
+    frames and finish with normalize() for temporal multiframe NLM (or use
+    nlm_accumulate_frames, which keeps the accumulators on-chip).
+    """
+    wc, nw = _nlm_planar_frames(
+        _to_planar(target), _to_planar(neighbour)[None], params, tiling
+    )
+    return _from_planar(wc), nw[0]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def nlm_accumulate_frames(
+    target: jnp.ndarray,
+    frames: jnp.ndarray,
+    params: NlmParams = NlmParams(),
+    tiling: Optional[TilingConfig] = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Temporal NLM accumulation over a stacked (F, H, W, 4) frame batch in ONE
+    kernel launch: the frame axis is the innermost grid dimension, so the
+    weight accumulators live in VMEM across frames like the reference's
+    persistent weights buffer (src/main.cpp:1430-1433) instead of paying a
+    per-frame HBM round-trip. Each frame contributes its norm seed
+    (shaders/nonlocal.comp:32); finish with normalize()."""
+    wc, nw = _nlm_planar_frames(
+        _to_planar(target),
+        jnp.transpose(frames.astype(jnp.float32), (0, 3, 1, 2)),
+        params,
+        tiling,
+    )
     return _from_planar(wc), nw[0]
 
 

@@ -147,7 +147,8 @@ def nlm_xla(
     inv_h2 = jnp.float32(1.0 / (params.h**2))
 
     # Search offsets are half-open: [-s, s) x [-s, s) (shaders/nonlocal.comp:36-38).
-    sy, sx = np.mgrid[0 : 2 * s, 0 : 2 * s]
+    # search_stride > 1 evaluates the approximate offset subset (config.py).
+    sy, sx = np.mgrid[0 : 2 * s : params.search_stride, 0 : 2 * s : params.search_stride]
     offs = jnp.asarray(np.stack([sy.ravel(), sx.ravel()], axis=1).astype(np.int32))
 
     t_ext = pt[:eh, :ew]  # target patch region, fixed across offsets
