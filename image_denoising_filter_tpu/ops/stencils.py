@@ -35,6 +35,7 @@ ops/xla.py.
 from __future__ import annotations
 
 import functools
+import itertools
 from typing import Optional
 
 import jax
@@ -114,21 +115,36 @@ def _pad_planar(
     )
 
 
-def _roll_up(v: jnp.ndarray) -> jnp.ndarray:
-    """Cyclically shift rows (axis 0 of a 2D plane) up by one.
-
-    Performance note: kernels carry each channel as a separate 2D plane and
-    slice both dims in a single op -- slicing a 3D value (or pre-slicing one
-    axis of a slab) makes Mosaic relayout the whole slab per access, measured
-    43x slower on v5e.
-    """
-    return pltpu.roll(v, v.shape[0] - 1, axis=0)
-
-
 # ---------------------------------------------------------------------------
 # Bilateral (shaders/bialteral.comp) -- also the weight engine for the
 # layer-guided variant (shaders/bialteral_layers.comp) via `guide`.
 # ---------------------------------------------------------------------------
+
+
+def _circle_taps(radius: int, sigma_spatial: float, truncate_eps: float):
+    """Static (dy, dx, log_spatial_weight) tap list.
+
+    Spatial-weight truncation, tap-exact: a tap contributes
+    w = exp(-0.5 (dy^2+dx^2)/ss^2) * w_color with w_color <= 1, so any tap
+    with spatial weight < truncate_eps cannot move the float32-normalized
+    output (see BilateralParams.truncate_eps). The keep set
+    {dy^2 + dx^2 <= R^2}, R^2 = 2 ss^2 ln(1/eps), is a DISK -- ~pi/4 of the
+    square window the reference iterates (shaders/bialteral.comp:51-53);
+    for the reference sigma_s=2.0 that is 465 taps instead of 41x41=1681."""
+    import math
+
+    taps = []
+    if truncate_eps > 0.0:
+        r2_max = 2.0 * sigma_spatial * sigma_spatial * math.log(1.0 / truncate_eps)
+    else:
+        r2_max = float("inf")
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            d2 = dy * dy + dx * dx
+            if d2 <= r2_max:
+                lsw = -0.5 * d2 / (sigma_spatial * sigma_spatial)
+                taps.append((dy, dx, np.float32(lsw)))
+    return taps
 
 
 def _bilateral_kernel(
@@ -140,19 +156,23 @@ def _bilateral_kernel(
     guide_tile,
     sem,
     *,
-    radius: int,
+    taps,
     th: int,
     tw: int,
     rh: int,
     lh: int,
-    inv_ss2: float,
     inv2sc: float,
     blue_bug: bool,
     guided: bool,
     fuse_normalize: bool,
     uniform_alpha: bool,
+    cdtype,
 ):
-    r = radius
+    """Fully static tap walk: every (dy, dx) is a compile-time constant, so all
+    VMEM reads are static 2D slices of per-channel planes (Mosaic folds the
+    shifted read into the consuming op; measured ~1 op per slice+add on v5e).
+    Per-channel 2D planes, never a sliced 3D slab -- slicing a 3D value makes
+    Mosaic relayout the whole slab per access, measured 43x slower."""
     i, j = pl.program_id(0), pl.program_id(1)
     rows = pl.ds(i * th, th + 2 * rh)
     cols = pl.ds(j * tw, tw + 2 * lh)
@@ -164,70 +184,57 @@ def _bilateral_kernel(
         cpg.wait()
     cp.wait()
 
+    vimg = [img_tile[c].astype(cdtype) if c < 3 else img_tile[c] for c in range(4)]
+    vg = [guide_tile[c].astype(cdtype) for c in range(3)] if guided else None
+    wsrc = vg if guided else vimg
+
     # Center pixels (weight source): tile-relative (0,0) sits at scratch (rh, lh).
-    wsrc_ref = guide_tile if guided else img_tile
-    cr = wsrc_ref[0, rh : rh + th, lh : lh + tw]
-    cg = wsrc_ref[1, rh : rh + th, lh : lh + tw]
-    cb = wsrc_ref[2, rh : rh + th, lh : lh + tw]
+    cr = wsrc[0][rh : rh + th, lh : lh + tw]
+    cg = wsrc[1][rh : rh + th, lh : lh + tw]
+    cb = wsrc[2][rh : rh + th, lh : lh + tw]
 
-    rbase = rh - r  # top tap row within the rolled planes
-    cbase = lh - r  # leftmost tap lane
+    zero = jnp.zeros((th, tw), jnp.float32)
+    wc0 = wc1 = wc2 = wc3 = nw = zero
 
-    # Carried state: accumulators + one rolled 2D plane per channel (separate
-    # 2D planes, see _roll_up's performance note). Guided mode additionally
-    # rolls the guide's RGB planes (its alpha is never read,
-    # bialteral_layers.comp:46-55).
-    n_img = 4
-    n_guide = 3 if guided else 0
-
-    def row_body(dy, carry):
-        wc0, wc1, wc2, wc3, nw = carry[:5]
-        vimg = carry[5 : 5 + n_img]
-        vg = carry[5 + n_img :]
-        wsrc = vg if guided else vimg
-        fy = (dy - r).astype(jnp.float32)
-        row_term = jnp.float32(-0.5 * inv_ss2) * fy * fy
-        for dx in range(2 * r + 1):
-            col_term = np.float32(-0.5 * inv_ss2 * (dx - r) ** 2)
-            c0 = cbase + dx
-            gr = wsrc[0][rbase : rbase + th, c0 : c0 + tw]
-            gg = wsrc[1][rbase : rbase + th, c0 : c0 + tw]
+    # Group taps by row so row-partial accumulators keep the live set small
+    # (one long unrolled block, no fori carries -- wide carried DAGs can blow
+    # Mosaic's scoped-VMEM stack).
+    for dy, row_taps in itertools.groupby(taps, key=lambda t: t[0]):
+        a0 = a1 = a2 = a3 = an = None
+        for _, dx, lsw in row_taps:
+            r0, c0 = rh + dy, lh + dx
+            gr = wsrc[0][r0 : r0 + th, c0 : c0 + tw]
+            gg = wsrc[1][r0 : r0 + th, c0 : c0 + tw]
             dr = cr - gr
             dg = cg - gg
             ssd = dr * dr + dg * dg
-            gb = wsrc[2][rbase : rbase + th, c0 : c0 + tw]
+            gb = wsrc[2][r0 : r0 + th, c0 : c0 + tw]
             if not blue_bug:
                 db = cb - gb
                 ssd = ssd + db * db
-            wgt = jnp.exp((row_term + col_term) - ssd * jnp.float32(inv2sc))
+            wgt = jnp.exp(ssd.astype(jnp.float32) * jnp.float32(-inv2sc) + lsw)
             if guided:
-                t0 = vimg[0][rbase : rbase + th, c0 : c0 + tw]
-                t1 = vimg[1][rbase : rbase + th, c0 : c0 + tw]
-                t2 = vimg[2][rbase : rbase + th, c0 : c0 + tw]
+                t0 = vimg[0][r0 : r0 + th, c0 : c0 + tw]
+                t1 = vimg[1][r0 : r0 + th, c0 : c0 + tw]
+                t2 = vimg[2][r0 : r0 + th, c0 : c0 + tw]
             else:
                 t0, t1, t2 = gr, gg, gb
-            wc0 = wc0 + t0 * wgt
-            wc1 = wc1 + t1 * wgt
-            wc2 = wc2 + t2 * wgt
+            t0 = t0.astype(jnp.float32)
+            t1 = t1.astype(jnp.float32)
+            t2 = t2.astype(jnp.float32)
+            a0 = t0 * wgt if a0 is None else a0 + t0 * wgt
+            a1 = t1 * wgt if a1 is None else a1 + t1 * wgt
+            a2 = t2 * wgt if a2 is None else a2 + t2 * wgt
             if not uniform_alpha:
-                t3 = vimg[3][rbase : rbase + th, c0 : c0 + tw]
-                wc3 = wc3 + t3 * wgt
-            nw = nw + wgt
-        rolled = tuple(_roll_up(v) for v in (*vimg, *vg))
-        return (wc0, wc1, wc2, wc3, nw, *rolled)
-
-    zero = jnp.zeros((th, tw), jnp.float32)
-    init = (
-        zero,
-        zero,
-        zero,
-        zero,
-        zero,
-        *(img_tile[c] for c in range(4)),
-        *((guide_tile[c] for c in range(3)) if guided else ()),
-    )
-    out = jax.lax.fori_loop(0, 2 * r + 1, row_body, init)
-    wc0, wc1, wc2, wc3, nw = out[:5]
+                t3 = vimg[3][r0 : r0 + th, c0 : c0 + tw]
+                a3 = t3 * wgt if a3 is None else a3 + t3 * wgt
+            an = wgt if an is None else an + wgt
+        wc0 = wc0 + a0
+        wc1 = wc1 + a1
+        wc2 = wc2 + a2
+        if not uniform_alpha:
+            wc3 = wc3 + a3
+        nw = nw + an
     if uniform_alpha:
         # sum(w * a) == a * sum(w) when alpha is one constant everywhere.
         wc3 = img_tile[3, rh : rh + th, lh : lh + tw] * nw
@@ -272,22 +279,26 @@ def _bilateral_planar(
         else jnp.zeros((4, 8, 128), jnp.float32)
     )
 
+    taps = _circle_taps(r, params.sigma_spatial, params.truncate_eps)
+    cdtype = jnp.bfloat16 if (
+        tiling and tiling.compute_dtype == "bfloat16"
+    ) else jnp.float32
     kernel = functools.partial(
         _bilateral_kernel,
-        radius=r,
+        taps=taps,
         th=th,
         tw=tw,
         rh=rh,
         lh=lh,
-        inv_ss2=1.0 / (params.sigma_spatial**2),
         inv2sc=0.5 / (params.sigma_color**2),
         blue_bug=params.blue_bug,
         guided=guided,
         fuse_normalize=fuse_normalize,
         uniform_alpha=params.uniform_alpha,
+        cdtype=cdtype,
     )
     tile_shape = (4, th + 2 * rh, tw + 2 * lh)
-    n_taps = (2 * r + 1) ** 2
+    n_taps = len(taps)
     wc, nw = pl.pallas_call(
         kernel,
         grid=grid,

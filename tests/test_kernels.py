@@ -114,6 +114,26 @@ def test_nlm_full_reference_params_xla(img, img2):
     np.testing.assert_allclose(np.asarray(nw), wnw, rtol=2e-4, atol=1e-4)
 
 
+def test_bilateral_full_reference_params_circle_mask(img):
+    """Full GPU reference params (radius 20, sigma_s 2.0): the Pallas kernel's
+    circular spatial-weight truncation (465 of 1681 taps) stays within the
+    documented truncation tolerance of the full-window oracle."""
+    p = BilateralParams()  # radius=20, truncate_eps=1e-8 -> disk mask
+    got = np.asarray(bilateral(img, p))
+    want = ref.bilateral_reference(img, p)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_bilateral_bfloat16_compute_dtype_tolerance(img):
+    tiling = TilingConfig(compute_dtype="bfloat16")
+    got = np.asarray(bilateral(img, BP, tiling))
+    want = ref.bilateral_reference(img, BP)
+    np.testing.assert_allclose(got, want, rtol=0.1, atol=0.03)
+    # and it actually changed the arithmetic (knob is live, not decorative)
+    exact = np.asarray(bilateral(img, BP))
+    assert not np.array_equal(got, exact)
+
+
 def test_nlm_batched_frames_matches_per_frame_sum(img, img2, rng):
     """nlm_accumulate_frames (one launch, frame axis in the grid) == the sum of
     per-frame partials, each frame contributing its norm seed."""

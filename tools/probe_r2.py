@@ -213,8 +213,34 @@ def probe_2d_slice(n: int):
     return dt
 
 
-def probe_turbo():
-    """Stage breakdown of the turbo bilateral at 4K d=2."""
+def slope_time_fixed(call, x_fixed, iters=3, k=4):
+    """Slope-time a stage whose output shape differs from its input: carry the
+    OUTPUT through the fori_loop and inject a non-foldable dependence into the
+    fixed input each iteration."""
+
+    def run_k(kk):
+        @jax.jit
+        def f(v0):
+            def body(i, v):
+                dep = v.ravel()[0] * jnp.float32(1e-30)
+                return call(x_fixed.at[(0,) * x_fixed.ndim].add(dep))
+
+            out = jax.lax.fori_loop(0, kk, body, v0)
+            return jnp.sum(out.ravel()[0:1])
+
+        v0 = call(x_fixed)
+        float(f(v0))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            float(f(v0))
+        return (time.perf_counter() - t0) / iters
+
+    t1, tk = run_k(1), run_k(k)
+    return max((tk - t1) / (k - 1), 1e-9)
+
+
+def probe_turbo(d: int = 2):
+    """Stage breakdown of the turbo bilateral at 4K."""
     from image_denoising_filter_tpu.config import BilateralParams
     from image_denoising_filter_tpu.ops import fast
 
@@ -222,13 +248,12 @@ def probe_turbo():
     rng = np.random.default_rng(0)
     img = jax.device_put(rng.uniform(0, 1, (h, w, 4)).astype(np.float32))
     params = BilateralParams(uniform_alpha=True)
-    d, levels = 2, 8
+    levels = 8
 
     full = functools.partial(fast.bilateral_fast, params=params, levels=levels, downsample=d)
     dt_full = slope_time(lambda x: full(x), img)
-    print(f"turbo full d=2: {dt_full*1e3:.2f} ms = {h*w/dt_full/1e6:.0f} Mpix/s")
+    print(f"turbo full d={d}: {dt_full*1e3:.2f} ms = {h*w/dt_full/1e6:.0f} Mpix/s")
 
-    # Stage 1: downsample+pad glue
     import math
 
     r = params.effective_radius
@@ -241,7 +266,7 @@ def probe_turbo():
         pp = jnp.pad(planar, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
         return fast._downsample(pp, d)
 
-    dt_prep = slope_time(lambda x: jnp.transpose(prep(x), (1, 2, 0)) * 1.0001, img)
+    dt_prep = slope_time_fixed(prep, img)
     print(f"turbo prep (transpose+pad+pool): {dt_prep*1e3:.2f} ms")
 
     small = prep(img)
@@ -256,7 +281,7 @@ def probe_turbo():
         return fast._build_grid_pallas(sm, lmin, step, levels, taps, params.border, 0.5 / params.sigma_color**2)
 
     g = build(small)
-    dt_build = slope_time(lambda sm: build(sm)[:4, : small.shape[1], : small.shape[2]] * 1.0 + sm, small)
+    dt_build = slope_time_fixed(build, small)
     print(f"turbo grid build: {dt_build*1e3:.2f} ms  (grid shape {g.shape})")
 
     gp = jnp.pad(g, ((0, 0), (1, 1), (1, 1)), mode="edge")
@@ -269,7 +294,7 @@ def probe_turbo():
     def slc(gd):
         return fast._slice_grid_pallas(gd, gp, lmin, 1.0 / step, levels, d, tile_h, tile_w)
 
-    dt_slice = slope_time(lambda gd: slc(gd)[:3] + gd, guide)
+    dt_slice = slope_time_fixed(slc, guide)
     print(f"turbo grid slice: {dt_slice*1e3:.2f} ms")
     print(f"  (minmax + pads + final transpose: remainder {1e3*(dt_full-dt_prep-dt_build-dt_slice):.2f} ms)")
 
