@@ -80,9 +80,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument(
         "--turbo", type=int, default=0, metavar="D", choices=[0, 1, 2, 4],
-        help="approximate bilateral-grid mode with spatial reduction D for "
-        "the bilateral configs (0 = exact kernels; ~44 dB vs exact at D=2, "
-        "~39 dB at D=4; see docs/PERFORMANCE.md)",
+        help="approximate speed mode: bilateral-grid with spatial reduction D "
+        "for the bilateral configs, stride-2 search for the NLM configs "
+        "(0 = exact kernels; quality-vs-exact figures in docs/PERFORMANCE.md; "
+        "content-dependent -- targets renders/photos, not white noise)",
     )
     ap.add_argument("--radius", type=int, default=20, help="bilateral window radius")
     ap.add_argument("--sigma-spatial", type=float, default=2.0)
@@ -131,6 +132,10 @@ def main(argv: list[str] | None = None) -> int:
             search_radius=args.search_radius,
             patch_radius=args.patch_radius,
             h=args.nlm_h,
+            # Turbo's NLM analog: evaluate a strided search-candidate subset
+            # (49 of 196 offsets at stride 2 -- quality figures in
+            # docs/PERFORMANCE.md and tests/test_fast.py).
+            search_stride=2 if args.turbo else 1,
         )
         profiler = None
         if args.profile:

@@ -36,6 +36,7 @@ from ..config import (
     TilingConfig,
 )
 from .. import ops
+from ..ops import xla as ops_xla
 from .mesh import FRAME_AXIS, SPATIAL_AXIS
 
 
@@ -80,17 +81,84 @@ def _row_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, SPATIAL_AXIS))
 
 
+def _split_halo_compute(locals_, halo: int, border: str, axis: str, fn):
+    """Compute-communication overlap for a row-sharded stencil.
+
+    Issues the ppermute halo exchanges FIRST, then computes the shard interior
+    (which depends only on local rows), then the two edge strips (which consume
+    the ppermute results). XLA's latency-hiding scheduler can run the ICI
+    collectives under the interior kernel because nothing in it depends on
+    them -- the stencil analog of overlapping ring-attention's neighbor
+    passing with block compute.
+
+    locals_: tuple of (rows, W, C...) local shards sharing the row count.
+    fn: maps a tuple of row-extended arrays to a tuple of outputs whose leading
+    axis aligns with its inputs' rows. Returns the outputs cropped/stitched to
+    `rows`. Falls back to the blocking exchange when shards are too short for
+    a meaningful interior (rows < 3*halo).
+    """
+    rows = locals_[0].shape[0]
+    n = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+
+    if rows < 3 * halo or n == 1:
+        exts = tuple(_exchange_halo(x, halo, border, axis) for x in locals_)
+        outs = fn(exts)
+        return tuple(o[halo : halo + rows] for o in outs)
+
+    aboves, belows = [], []
+    for x in locals_:  # issue all exchanges up front (async under interior)
+        from_above = jax.lax.ppermute(
+            x[-halo:], axis, [(i, i + 1) for i in range(n - 1)]
+        )
+        from_below = jax.lax.ppermute(
+            x[:halo], axis, [(i + 1, i) for i in range(n - 1)]
+        )
+        if border == BorderPolicy.CLAMP:
+            edge_top = jnp.repeat(x[:1], halo, axis=0)
+            edge_bottom = jnp.repeat(x[-1:], halo, axis=0)
+        else:
+            edge_top = jnp.zeros_like(x[:halo])
+            edge_bottom = jnp.zeros_like(x[-halo:])
+        aboves.append(jnp.where(idx == 0, edge_top, from_above))
+        belows.append(jnp.where(idx == n - 1, edge_bottom, from_below))
+
+    # Interior: output rows [halo, rows-halo) depend on input rows [0, rows)
+    # only -- fn's own border padding influences just its first/last halo
+    # output rows, which are discarded.
+    int_outs = fn(locals_)
+    # Top edge: output rows [0, halo) need input rows [-halo, 2*halo).
+    top_outs = fn(tuple(
+        jnp.concatenate([a, x[: 2 * halo]], axis=0)
+        for a, x in zip(aboves, locals_)
+    ))
+    # Bottom edge: output rows [rows-halo, rows) need [rows-2*halo, rows+halo).
+    bot_outs = fn(tuple(
+        jnp.concatenate([x[-2 * halo :], b], axis=0)
+        for b, x in zip(belows, locals_)
+    ))
+    return tuple(
+        jnp.concatenate(
+            [t[halo : 2 * halo], i[halo : rows - halo], b[halo : 2 * halo]],
+            axis=0,
+        )
+        for t, i, b in zip(top_outs, int_outs, bot_outs)
+    )
+
+
 def spatial_bilateral(
     img: jnp.ndarray,
     params: BilateralParams = BilateralParams(),
     mesh: Optional[Mesh] = None,
     tiling: Optional[TilingConfig] = None,
+    linear: bool = False,
 ) -> jnp.ndarray:
     """Bilateral filter with H sharded over the mesh's 'y' axis.
 
     img: (H, W, 4) with H divisible by the 'y' axis size. The local kernel runs
     on the halo-extended shard and the center is cropped back -- identical
-    output to the single-chip kernel.
+    output to the single-chip kernel. linear=True shards the XLA linear-layout
+    variant instead of the tiled Pallas kernel.
     """
     halo = params.effective_radius  # what the kernel actually reads
 
@@ -102,10 +170,16 @@ def spatial_bilateral(
         out_specs=P(SPATIAL_AXIS, None, None),
     )
     def run(local):
-        rows = local.shape[0]
-        ext = _exchange_halo(local, halo, params.border, SPATIAL_AXIS)
-        out = ops.bilateral(ext, params, tiling)
-        return out[halo : halo + rows]
+        def fn(exts):
+            (ext,) = exts
+            if linear:
+                return (ops_xla.bilateral_xla(ext, params),)
+            return (ops.bilateral(ext, params, tiling),)
+
+        (out,) = _split_halo_compute(
+            (local,), halo, params.border, SPATIAL_AXIS, fn
+        )
+        return out
 
     return run(img)
 
@@ -116,6 +190,7 @@ def spatial_nlm_accumulate(
     params: NlmParams = NlmParams(),
     mesh: Optional[Mesh] = None,
     tiling: Optional[TilingConfig] = None,
+    linear: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One frame's NLM partials with H sharded over 'y'."""
     halo = params.search_radius + params.patch_radius
@@ -128,11 +203,14 @@ def spatial_nlm_accumulate(
         out_specs=(P(SPATIAL_AXIS, None, None), P(SPATIAL_AXIS, None)),
     )
     def run(t_local, n_local):
-        rows = t_local.shape[0]
-        t_ext = _exchange_halo(t_local, halo, params.border, SPATIAL_AXIS)
-        n_ext = _exchange_halo(n_local, halo, params.border, SPATIAL_AXIS)
-        wc, nw = ops.nlm_accumulate(t_ext, n_ext, params, tiling)
-        return wc[halo : halo + rows], nw[halo : halo + rows]
+        def fn(exts):
+            if linear:
+                return ops_xla.nlm_xla(exts[0], exts[1], params)
+            return ops.nlm_accumulate(exts[0], exts[1], params, tiling)
+
+        return _split_halo_compute(
+            (t_local, n_local), halo, params.border, SPATIAL_AXIS, fn
+        )
 
     return run(target, neighbour)
 
@@ -143,6 +221,7 @@ def spatial_cross_bilateral_layers(
     params: LayersParams = LayersParams(),
     mesh: Optional[Mesh] = None,
     tiling: Optional[TilingConfig] = None,
+    linear: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One layer's cross-bilateral partials with H sharded over 'y'."""
     halo = params.effective_radius
@@ -155,11 +234,14 @@ def spatial_cross_bilateral_layers(
         out_specs=(P(SPATIAL_AXIS, None, None), P(SPATIAL_AXIS, None)),
     )
     def run(t_local, l_local):
-        rows = t_local.shape[0]
-        t_ext = _exchange_halo(t_local, halo, params.border, SPATIAL_AXIS)
-        l_ext = _exchange_halo(l_local, halo, params.border, SPATIAL_AXIS)
-        wc, nw = ops.cross_bilateral_layers(t_ext, l_ext, params, tiling)
-        return wc[halo : halo + rows], nw[halo : halo + rows]
+        def fn(exts):
+            if linear:
+                return ops_xla.cross_bilateral_layers_xla(exts[0], exts[1], params)
+            return ops.cross_bilateral_layers(exts[0], exts[1], params, tiling)
+
+        return _split_halo_compute(
+            (t_local, l_local), halo, params.border, SPATIAL_AXIS, fn
+        )
 
     return run(target, layer)
 
@@ -172,6 +254,7 @@ def temporal_nlm_sharded(
     mesh: Optional[Mesh] = None,
     tiling: Optional[TilingConfig] = None,
     valid: Optional[jnp.ndarray] = None,
+    linear: bool = False,
 ) -> jnp.ndarray:
     """Full multichip temporal NLM: frames sharded over 'frame' (DP), rows
     over 'y' (spatial), weight partials psum'd over 'frame', then normalized.
@@ -209,7 +292,10 @@ def temporal_nlm_sharded(
             frame, v = frame_and_valid
             wc, nw = carry
             f_ext = _exchange_halo(frame, halo, params.border, SPATIAL_AXIS)
-            pwc, pnw = ops.nlm_accumulate(t_ext, f_ext, params, tiling)
+            if linear:
+                pwc, pnw = ops_xla.nlm_xla(t_ext, f_ext, params)
+            else:
+                pwc, pnw = ops.nlm_accumulate(t_ext, f_ext, params, tiling)
             return (wc + pwc * v, nw + pnw * v), None
 
         ext_rows = rows + 2 * halo

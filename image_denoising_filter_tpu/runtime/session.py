@@ -186,7 +186,7 @@ class Session:
 
         layout = LINEAR if cfg.linear else TILED
 
-        if self.mesh is not None and not cfg.linear:
+        if self.mesh is not None:
             out_dev = self._run_sharded(
                 target_dev, ds, report, cfg, bilateral_params, layers_params, nlm_single_params
             )
@@ -241,7 +241,10 @@ class Session:
 
     def _run_sharded(self, target_dev, ds, report, cfg, bp, lp, nlm_single):
         """Multi-chip dispatch: spatial row sharding (+ frame DP for
-        multiframe NLM)."""
+        multiframe NLM). Linear-layout configs shard the XLA variant over the
+        same mesh (the reference's layout experiment, preserved under
+        sharding)."""
+        linear = cfg.linear
         if cfg.use_layers:
             halo, border = lp.effective_radius, lp.border
         elif cfg.nlm:
@@ -256,7 +259,7 @@ class Session:
             for p in ds.layers:
                 layer, _ = self._pad_rows(jax.device_put(self._load(p)), halo, border)
                 pwc, pnw = spatial_cross_bilateral_layers(
-                    tgt, layer, lp, self.mesh, self.tiling
+                    tgt, layer, lp, self.mesh, self.tiling, linear=linear
                 )
                 wc = pwc if wc is None else wc + pwc
                 nw = pnw if nw is None else nw + pnw
@@ -304,6 +307,7 @@ class Session:
                     mesh=self.mesh,
                     tiling=self.tiling,
                     valid=jax.device_put(valid),
+                    linear=linear,
                 )
                 _fence(out)
             return out[:h]
@@ -312,13 +316,13 @@ class Session:
 
             with report.execute():
                 wc, nw = spatial_nlm_accumulate(
-                    tgt, tgt, nlm_single, self.mesh, self.tiling
+                    tgt, tgt, nlm_single, self.mesh, self.tiling, linear=linear
                 )
                 out = norm_op(wc, nw)
                 _fence(out)
             return out[:h]
         with report.execute():
-            out = spatial_bilateral(tgt, bp, self.mesh, self.tiling)
+            out = spatial_bilateral(tgt, bp, self.mesh, self.tiling, linear=linear)
             _fence(out)
         return out[:h]
 
@@ -399,9 +403,12 @@ class Session:
             return model_fast if fast_ok and a.min() == a.max() else model
 
         if self.warmup:
-            # Warm the variant the target's own alpha selects (the common
-            # case: all frames share it); the other compiles on first use.
-            wmodel = pick_model(np.asarray(target_dev))
+            # Warm the variant that will actually dispatch: the overlap path
+            # streams device arrays and always uses the configured kernel;
+            # the non-overlap path picks per-frame by alpha, so warm the
+            # variant the target's own alpha selects (the common case: all
+            # frames share it); the other compiles on first use.
+            wmodel = model if cfg.overlap else pick_model(np.asarray(target_dev))
             warm = wmodel.accumulate_one(target_dev, target_dev, None)
             warm = wmodel.accumulate_one(target_dev, target_dev, warm)  # +carry path
             _fence(wmodel.finalize(warm))
@@ -456,6 +463,11 @@ class Session:
         assert not cfg.nlm and not cfg.use_layers, "turbo covers the bilateral configs"
         from ..ops.fast import bilateral_fast
 
+        if self.mesh is not None:
+            print(
+                "NOTE: turbo mode has no sharded variant; running single-device "
+                "despite --mesh (the exact kernels honor the mesh)."
+            )
         report = TimingReport()
         target_host = self._load(self.target)
         with report.transfer():

@@ -38,10 +38,17 @@ class Timer:
 @dataclasses.dataclass
 class TimingReport:
     """Accumulated transfer/exec ns for one run (m_transferTimeElapsed /
-    m_execTimeElapsed analogs, src/main.cpp:81-86)."""
+    m_execTimeElapsed analogs, src/main.cpp:81-86).
+
+    The two counters are DISJOINT by construction, like the reference's
+    timestamp intervals (exec = t1-t0, transfer = t2-t1, src/main.cpp:
+    1095-1102): a transfer() region entered while an execute() region is open
+    (e.g. the prefetcher uploading frame k+1 under frame k's kernel) is
+    credited to transfer_ns and subtracted from the enclosing exec_ns."""
 
     transfer_ns: int = 0
     exec_ns: int = 0
+    _exec_depth: int = dataclasses.field(default=0, repr=False, compare=False)
 
     @contextlib.contextmanager
     def transfer(self):
@@ -49,14 +56,19 @@ class TimingReport:
         try:
             yield
         finally:
-            self.transfer_ns += time.perf_counter_ns() - t0
+            dt = time.perf_counter_ns() - t0
+            self.transfer_ns += dt
+            if self._exec_depth > 0:
+                self.exec_ns -= dt
 
     @contextlib.contextmanager
     def execute(self):
+        self._exec_depth += 1
         t0 = time.perf_counter_ns()
         try:
             yield
         finally:
+            self._exec_depth -= 1
             self.exec_ns += time.perf_counter_ns() - t0
 
     def print(self) -> None:

@@ -99,6 +99,46 @@ def test_prefetcher_order_and_depth():
     assert seen == [float(i) for i in items]
 
 
+def test_timing_report_counters_disjoint():
+    """A transfer() entered inside execute() (prefetch upload under the kernel)
+    is credited to transfer_ns and excluded from exec_ns -- the reference keeps
+    exec (t1-t0) and transfer (t2-t1) disjoint (src/main.cpp:1095-1102)."""
+    import time
+
+    from image_denoising_filter_tpu.utils.timing import TimingReport
+
+    rep = TimingReport()
+    wall0 = time.perf_counter_ns()
+    with rep.execute():
+        time.sleep(0.02)
+        with rep.transfer():
+            time.sleep(0.03)
+        time.sleep(0.01)
+    wall = time.perf_counter_ns() - wall0
+    assert rep.transfer_ns >= 25_000_000
+    assert rep.exec_ns >= 20_000_000
+    # no double count: the two counters partition the wall time
+    assert abs((rep.exec_ns + rep.transfer_ns) - wall) < 10_000_000
+
+
+def test_session_overlap_timing_not_double_counted(tmp_path):
+    """Overlap-path report: exec + transfer stay within the run's wall time
+    (previously prefetch uploads were counted in BOTH)."""
+    import time
+
+    target = _make_anim(tmp_path, n_frames=4)
+    session = Session(
+        target, nlm_params=NP_, output_dir=str(tmp_path), warmup=True
+    )
+    cfg = RunConfig(nlm=True, multiframe=True, overlap=True)
+    t0 = time.perf_counter_ns()
+    result = session.run(cfg)
+    wall = time.perf_counter_ns() - t0
+    rep = result.report
+    assert rep.exec_ns > 0 and rep.transfer_ns > 0
+    assert rep.exec_ns + rep.transfer_ns <= wall
+
+
 def _make_anim(tmp_path, n_frames=3, with_layers=True):
     root = str(tmp_path / "anim")
     os.makedirs(root + "/RenderElements", exist_ok=True)

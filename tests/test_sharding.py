@@ -61,6 +61,36 @@ def test_spatial_nlm_matches_oracle():
     np.testing.assert_allclose(np.asarray(nw), wnw, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("n_y", [2, 4])
+def test_spatial_bilateral_linear_layout_sharded(n_y):
+    """The linear-layout (XLA) variant shards over the same mesh -- a --mesh
+    run must not silently fall back to single-device for the linear config."""
+    mesh = make_mesh((1, n_y))
+    img = _frame(3)
+    got = np.asarray(spatial_bilateral(img, BP, mesh, linear=True))
+    want = ref.bilateral_reference(img, BP)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_spatial_nlm_linear_layout_sharded():
+    mesh = make_mesh((1, 4))
+    t, n = _frame(0), _frame(1)
+    wc, nw = spatial_nlm_accumulate(t, n, NP_, mesh, linear=True)
+    wwc, wnw = ref.nlm_reference(t, n, NP_)
+    np.testing.assert_allclose(np.asarray(wc), wwc, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nw), wnw, rtol=1e-4, atol=1e-5)
+
+
+def test_split_halo_interior_edge_stitching():
+    """Shards tall enough for the interior/edge split (rows >= 3*halo) take
+    the compute-overlap path; output must still be exactly the oracle's."""
+    mesh = make_mesh((1, 2))
+    img = _frame(4, h=64, w=32)  # 32 rows/shard, halo 3 -> split path
+    got = np.asarray(spatial_bilateral(img, BP, mesh))
+    want = ref.bilateral_reference(img, BP)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (1, 8), (8, 1)])
 def test_temporal_nlm_sharded_full(mesh_shape):
     """Frame-DP x spatial sharding: psum of weight partials over 'frame' must
