@@ -1,14 +1,17 @@
-"""Pure-Python OpenEXR scanline codec (float32/float16, NONE/ZIP/ZIPS).
+"""Pure-Python OpenEXR scanline codec.
 
 Plays the role tinyexr plays in the reference (LoadEXR/SaveEXR,
 src/main.cpp:151-186, 1688-1708): HDR images round-trip as float32 RGBA with the
 alpha channel preserved (the README calls out alpha preservation explicitly,
 README.md:57-59).
 
-Supported subset: single-part scanline EXRs, channels stored as HALF or FLOAT,
-compression NONE (0), ZIPS (2, 1 scanline/block) and ZIP (3, 16 scanlines/block)
--- which covers OpenEXR's default and tinyexr's SaveEXR output. Tiled, deep,
-multipart, and PIZ/PXR24/B44/DWA files raise ExrError.
+Decode supports single-part scanline EXRs with HALF/FLOAT/UINT channels and
+compression NONE (0), RLE (1), ZIPS (2), ZIP (3), PIZ (4) and PXR24 (5) --
+the full set tinyexr's loader accepts plus PXR24. The PIZ path (bitmap LUT +
+Huffman + 2D wavelet) and PXR24 path are independent implementations validated
+against the system OpenEXR library in tests (tests/test_io.py golden files via
+native/exr_oracle.cpp). Encode writes NONE/ZIPS/ZIP, matching the reference's
+SaveEXR output. Tiled, deep, multipart, and B44/DWA files raise ExrError.
 """
 
 from __future__ import annotations
@@ -23,7 +26,9 @@ _HALF = 1
 _FLOAT = 2
 _UINT = 0
 
-_COMPRESSION_LINES = {0: 1, 2: 1, 3: 16}
+#: scanlines per compressed block, by compression id
+_COMPRESSION_LINES = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16}
+_ENCODE_COMPRESSION_LINES = {0: 1, 2: 1, 3: 16}
 
 
 class ExrError(ValueError):
@@ -82,6 +87,319 @@ def _zip_compress(raw: bytes) -> bytes:
     return zlib.compress(buf.tobytes(), 6)
 
 
+def _rle_decompress(block: bytes, expected: int) -> bytes:
+    """RLE (compression 1): signed-count byte runs, then the same
+    predictor + split-interleave post-pass as ZIP."""
+    out = bytearray()
+    pos, n = 0, len(block)
+    while pos < n and len(out) < expected:
+        d = block[pos]
+        pos += 1
+        if d >= 128:  # negative count: -d literal bytes follow
+            count = 256 - d
+            out += block[pos : pos + count]
+            pos += count
+        else:  # repeat next byte (count + 1) times
+            if pos >= n:
+                raise ExrError("truncated RLE block")
+            out += block[pos : pos + 1] * (d + 1)
+            pos += 1
+    if len(out) != expected:
+        raise ExrError("RLE block has wrong decompressed size")
+    buf = np.frombuffer(bytes(out), np.uint8)
+    return _deinterleave(_predictor_decode(buf.copy())).tobytes()
+
+
+# -- PIZ (compression 4): bitmap LUT + Huffman + 2D wavelet -------------------
+# Independent implementation of the OpenEXR PIZ scheme, validated against the
+# system OpenEXR library (tests/test_io.py uses native/exr_oracle.cpp).
+
+_HUF_ENCSIZE = 65537
+_SHORT_ZEROCODE_RUN = 59
+_LONG_ZEROCODE_RUN = 63
+_SHORTEST_LONG_RUN = 2 + _LONG_ZEROCODE_RUN - _SHORT_ZEROCODE_RUN
+_HUF_DECBITS = 14
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "c", "lc")
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+        self.c = 0
+        self.lc = 0
+
+    def get(self, n: int) -> int:
+        while self.lc < n:
+            if self.pos >= len(self.data):
+                raise ExrError("truncated Huffman data")
+            self.c = (self.c << 8) | self.data[self.pos]
+            self.pos += 1
+            self.lc += 8
+        self.lc -= n
+        return (self.c >> self.lc) & ((1 << n) - 1)
+
+
+def _huf_unpack_enc_table(br: _BitReader, im: int, iM: int) -> np.ndarray:
+    lengths = np.zeros(_HUF_ENCSIZE, np.int64)
+    i = im
+    while i <= iM:
+        l = br.get(6)
+        if l == _LONG_ZEROCODE_RUN:
+            zerun = br.get(8) + _SHORTEST_LONG_RUN
+            i += zerun
+        elif l >= _SHORT_ZEROCODE_RUN:
+            i += l - _SHORT_ZEROCODE_RUN + 2
+        else:
+            lengths[i] = l
+            i += 1
+    if i > _HUF_ENCSIZE:
+        raise ExrError("corrupt Huffman table")
+    return lengths
+
+
+def _huf_canonical_codes(lengths: np.ndarray) -> np.ndarray:
+    """Assign canonical code values per OpenEXR's scheme. Returns codes[]."""
+    n = np.bincount(lengths[lengths > 0], minlength=59).astype(np.int64)
+    c = 0
+    first = np.zeros(59, np.int64)
+    for i in range(58, 0, -1):
+        nc = (c + n[i]) >> 1
+        first[i] = c
+        c = nc
+    codes = np.zeros(_HUF_ENCSIZE, np.int64)
+    nxt = first.copy()
+    sym_order = np.nonzero(lengths > 0)[0]
+    for s in sym_order:
+        l = lengths[s]
+        codes[s] = nxt[l]
+        nxt[l] += 1
+    return codes
+
+
+def _huf_decode(data: bytes, n_raw: int) -> np.ndarray:
+    im, iM, _tlen, n_bits, _room = struct.unpack_from("<IIIII", data, 0)
+    if not (0 <= im < _HUF_ENCSIZE and 0 <= iM < _HUF_ENCSIZE):
+        raise ExrError("corrupt Huffman header")
+    br = _BitReader(data, 20)
+    lengths = _huf_unpack_enc_table(br, im, iM)
+    codes = _huf_canonical_codes(lengths)
+
+    # Fast table for codes <= 14 bits; longer codes via a dict.
+    table_sym = np.full(1 << _HUF_DECBITS, -1, np.int64)
+    table_len = np.zeros(1 << _HUF_DECBITS, np.int64)
+    long_codes: dict[tuple[int, int], int] = {}
+    for s in np.nonzero(lengths > 0)[0]:
+        l = int(lengths[s])
+        cd = int(codes[s])
+        if l <= _HUF_DECBITS:
+            base = cd << (_HUF_DECBITS - l)
+            table_sym[base : base + (1 << (_HUF_DECBITS - l))] = s
+            table_len[base : base + (1 << (_HUF_DECBITS - l))] = l
+        else:
+            long_codes[(l, cd)] = int(s)
+
+    out = np.empty(n_raw, np.uint16)
+    o = 0
+    # Bit-accurate stream over exactly n_bits bits starting at br.pos.
+    stream = data[br.pos :]
+    acc = int.from_bytes(stream, "big")
+    total_bits = 8 * len(stream)
+    # The encoder pads the FRONT of the last byte? No: bits are MSB-first,
+    # n_bits counts the valid prefix.
+    consumed = 0
+    rlc = iM
+    get_sym = table_sym
+    get_len = table_len
+    while o < n_raw:
+        if consumed >= n_bits:
+            raise ExrError("Huffman data exhausted early")
+        # peek up to 14 bits (zero-padded past the end, as OpenEXR does)
+        remain = total_bits - consumed
+        if remain >= _HUF_DECBITS:
+            idx = (acc >> (remain - _HUF_DECBITS)) & ((1 << _HUF_DECBITS) - 1)
+        else:
+            idx = (acc << (_HUF_DECBITS - remain)) & ((1 << _HUF_DECBITS) - 1)
+        s = get_sym[idx]
+        if s >= 0:
+            l = int(get_len[idx])
+        else:
+            s = None
+            for l in range(_HUF_DECBITS + 1, 59):
+                if remain >= l:
+                    cd = (acc >> (remain - l)) & ((1 << l) - 1)
+                else:
+                    cd = (acc << (l - remain)) & ((1 << l) - 1)
+                if (l, cd) in long_codes:
+                    s = long_codes[(l, cd)]
+                    break
+            if s is None:
+                raise ExrError("invalid Huffman code")
+        consumed += l
+        if s == rlc:
+            remain = total_bits - consumed
+            if remain < 8:
+                raise ExrError("truncated run length")
+            cs = (acc >> (remain - 8)) & 0xFF
+            consumed += 8
+            if o == 0:
+                raise ExrError("run length with no previous symbol")
+            out[o : o + cs] = out[o - 1]
+            o += cs
+        else:
+            out[o] = s
+            o += 1
+    return out
+
+
+def _wdec14(l: np.ndarray, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    ls = l.astype(np.int16).astype(np.int32)
+    hi = h.astype(np.int16).astype(np.int32)
+    ai = ls + (hi & 1) + (hi >> 1)
+    a = ai.astype(np.int16)
+    b = (ai - hi).astype(np.int16)
+    return a.astype(np.uint16), b.astype(np.uint16)
+
+
+def _wdec16(l: np.ndarray, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    m = l.astype(np.int32)
+    d = h.astype(np.int32)
+    bb = (m - (d >> 1)) & 0xFFFF
+    aa = (d + bb - 0x8000) & 0xFFFF
+    return aa.astype(np.uint16), bb.astype(np.uint16)
+
+
+def _wav2_decode(a: np.ndarray, mx: int) -> None:
+    """In-place 2D wavelet decode of a (ny, nx) uint16 view (OpenEXR wav2)."""
+    ny, nx = a.shape
+    wdec = _wdec14 if mx < (1 << 14) else _wdec16
+    n = min(nx, ny)
+    p = 1
+    while p <= n:
+        p <<= 1
+    p >>= 1
+    p2 = p
+    p >>= 1
+    while p >= 1:
+        ey, ex = ny - p2, nx - p2
+        if ey >= 0 and ex >= 0:
+            v00 = a[0 : ey + 1 : p2, 0 : ex + 1 : p2]
+            v01 = a[0 : ey + 1 : p2, p : ex + p + 1 : p2]
+            v10 = a[p : ey + p + 1 : p2, 0 : ex + 1 : p2]
+            v11 = a[p : ey + p + 1 : p2, p : ex + p + 1 : p2]
+            i00, i10 = wdec(v00, v10)
+            i01, i11 = wdec(v01, v11)
+            r00, r01 = wdec(i00, i01)
+            r10, r11 = wdec(i10, i11)
+            v00[:], v01[:], v10[:], v11[:] = r00, r01, r10, r11
+            if nx & p:  # leftover column: 1D vertical pairs
+                col = ((ex) // p2 + 1) * p2
+                l_ = a[0 : ey + 1 : p2, col]
+                h_ = a[p : ey + p + 1 : p2, col]
+                i0, i1 = wdec(l_, h_)
+                a[0 : ey + 1 : p2, col] = i0
+                a[p : ey + p + 1 : p2, col] = i1
+            if ny & p:  # leftover line: 1D horizontal pairs
+                row = ((ey) // p2 + 1) * p2
+                l_ = a[row, 0 : ex + 1 : p2]
+                h_ = a[row, p : ex + p + 1 : p2]
+                i0, i1 = wdec(l_, h_)
+                a[row, 0 : ex + 1 : p2] = i0
+                a[row, p : ex + p + 1 : p2] = i1
+        p2 = p
+        p >>= 1
+
+
+def _piz_decompress(
+    block: bytes, expected: int, ch_bytes, w: int, nlines: int
+) -> bytes:
+    """PIZ (compression 4): bitmap -> LUT, Huffman, per-channel 2D wavelet."""
+    pos = 0
+    min_nz, max_nz = struct.unpack_from("<HH", block, pos)
+    pos += 4
+    bitmap = np.zeros(8192, np.uint8)
+    if min_nz <= max_nz:
+        nb = max_nz - min_nz + 1
+        bitmap[min_nz : max_nz + 1] = np.frombuffer(block[pos : pos + nb], np.uint8)
+        pos += nb
+    (length,) = struct.unpack_from("<i", block, pos)
+    pos += 4
+    if length < 0 or pos + length > len(block):
+        raise ExrError("corrupt PIZ block")
+
+    bits = np.unpackbits(bitmap, bitorder="little")
+    bits[0] = 1
+    lut = np.nonzero(bits)[0].astype(np.uint16)
+    max_value = len(lut) - 1
+
+    sizes = [2 if np.dtype(dt).itemsize == 4 else 1 for _, dt in ch_bytes]
+    n_raw = sum(w * nlines * s for s in sizes)
+    tmp = _huf_decode(block[pos : pos + length], n_raw)
+
+    off = 0
+    for (cname, dt), size in zip(ch_bytes, sizes):
+        cnt = w * nlines * size
+        plane = tmp[off : off + cnt].reshape(nlines, w * size)  # view into tmp
+        off += cnt
+        for j in range(size):
+            _wav2_decode(plane[:, j::size], max_value)
+    tmp = lut[tmp]  # applyLut AFTER the wavelet, over the whole buffer
+    off = 0
+    out = bytearray()
+    mapped = []
+    for (cname, dt), size in zip(ch_bytes, sizes):
+        cnt = w * nlines * size
+        mapped.append(tmp[off : off + cnt].reshape(nlines, w * size))
+        off += cnt
+    for y in range(nlines):
+        for plane in mapped:
+            out += np.ascontiguousarray(plane[y], dtype="<u2").tobytes()
+    if len(out) != expected:
+        raise ExrError("PIZ block has wrong decompressed size")
+    return bytes(out)
+
+
+def _pxr24_decompress(
+    block: bytes, expected: int, ch_bytes, w: int, nlines: int
+) -> bytes:
+    """PXR24 (compression 5): zlib over byte-planar, per-plane-deltaed words
+    (FLOAT truncated to 24 bits, HALF kept losslessly)."""
+    raw = np.frombuffer(zlib.decompress(block), np.uint8)
+    pos = 0
+    out = bytearray()
+    for _y in range(nlines):
+        for cname, dt in ch_bytes:
+            isz = np.dtype(dt).itemsize
+            if isz == 4 and dt == np.float32:
+                b0 = raw[pos : pos + w].astype(np.uint32)
+                b1 = raw[pos + w : pos + 2 * w].astype(np.uint32)
+                b2 = raw[pos + 2 * w : pos + 3 * w].astype(np.uint32)
+                pos += 3 * w
+                diff = (b0 << 16) | (b1 << 8) | b2
+                word = np.cumsum(diff, dtype=np.uint32)
+                out += (word << 8).astype("<u4").tobytes()
+            elif isz == 2:
+                b0 = raw[pos : pos + w].astype(np.uint32)
+                b1 = raw[pos + w : pos + 2 * w].astype(np.uint32)
+                pos += 2 * w
+                diff = (b0 << 8) | b1
+                word = np.cumsum(diff, dtype=np.uint32) & 0xFFFF
+                out += word.astype("<u2").tobytes()
+            else:  # UINT
+                b = [
+                    raw[pos + i * w : pos + (i + 1) * w].astype(np.uint32)
+                    for i in range(4)
+                ]
+                pos += 4 * w
+                diff = (b[0] << 24) | (b[1] << 16) | (b[2] << 8) | b[3]
+                word = np.cumsum(diff, dtype=np.uint32)
+                out += word.astype("<u4").tobytes()
+    if len(out) != expected:
+        raise ExrError("PXR24 block has wrong decompressed size")
+    return bytes(out)
+
+
 def read(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         return decode(f.read())
@@ -127,7 +445,10 @@ def decode(data: bytes) -> np.ndarray:
             line_order = body[0]  # parsed but placement uses block-header y
 
     if compression not in _COMPRESSION_LINES:
-        raise ExrError(f"compression type {compression} not supported (NONE/ZIP/ZIPS only)")
+        raise ExrError(
+            f"compression type {compression} not supported "
+            "(NONE/RLE/ZIPS/ZIP/PIZ/PXR24 only)"
+        )
     if data_window is None:
         raise ExrError("missing dataWindow")
     xmin, ymin, xmax, ymax = data_window
@@ -149,11 +470,17 @@ def decode(data: bytes) -> np.ndarray:
         nlines = min(lines_per_block, h - y0)
         expected = nlines * row_bytes
         if compression == 0 or size >= expected:
-            # ZIP blocks are stored raw when compression doesn't shrink them
+            # Blocks are stored raw when compression doesn't shrink them
             # (OpenEXR convention: compressed blocks are always < raw size).
             raw = block[:expected]
-        else:
+        elif compression == 1:
+            raw = _rle_decompress(block, expected)
+        elif compression in (2, 3):
             raw = _zip_decompress(block, expected)
+        elif compression == 4:
+            raw = _piz_decompress(block, expected, ch_bytes, w, nlines)
+        else:  # 5
+            raw = _pxr24_decompress(block, expected, ch_bytes, w, nlines)
         bpos = 0
         for line in range(nlines):
             # lineOrder only affects the order blocks appear in the file; the
@@ -182,8 +509,8 @@ def encode(rgba: np.ndarray, half: bool = False, compression: int = 3) -> bytes:
     rgba = np.asarray(rgba, np.float32)
     if rgba.ndim != 3 or rgba.shape[2] != 4:
         raise ExrError(f"expected (H, W, 4) float, got {rgba.shape}")
-    if compression not in _COMPRESSION_LINES:
-        raise ExrError(f"unsupported compression {compression}")
+    if compression not in _ENCODE_COMPRESSION_LINES:
+        raise ExrError(f"unsupported encode compression {compression} (NONE/ZIPS/ZIP)")
     h, w, _ = rgba.shape
     dt = np.float16 if half else np.float32
     ptype = _HALF if half else _FLOAT

@@ -30,7 +30,13 @@ except Exception:  # pragma: no cover - loader edge cases
 def _read_png(path: str) -> np.ndarray:
     if _HAVE_NATIVE:
         with open(path, "rb") as f:
-            return _native.png_decode(f.read())
+            data = f.read()
+        try:
+            return _native.png_decode(data)
+        except ValueError:
+            # Per-file fallback: the Python decoder covers a wider subset
+            # (interlaced, 16-bit, sub-byte depths).
+            return _png.decode(data)
     return _png.read(path)
 
 
@@ -45,7 +51,13 @@ def _write_png(path: str, rgba: np.ndarray) -> None:
 def _read_exr(path: str) -> np.ndarray:
     if _HAVE_NATIVE:
         with open(path, "rb") as f:
-            return _native.exr_decode(f.read())
+            data = f.read()
+        try:
+            return _native.exr_decode(data)
+        except ValueError:
+            # Per-file fallback: the Python decoder additionally covers
+            # RLE/PIZ/PXR24 compression.
+            return _exr.decode(data)
     return _exr.read(path)
 
 

@@ -5,9 +5,13 @@ src/main.cpp:190-229 decode, src/main.cpp:1710-1716 encode): every PNG is decode
 *to RGBA8* regardless of its native color type, and outputs are always RGBA8.
 
 This is the fallback path; the native C++ codec in `native/` (see
-utils/native.py) is used when built. Decode supports bit depth 8, color types
-0/2/3/4/6, all five filter types, no interlacing. Encode writes color type 6
-(RGBA8) with per-row adaptive None/Sub/Up filtering.
+utils/native.py) is used when built, with per-file fallback here for the
+subset it doesn't cover. Decode supports bit depths 1/2/4/8/16, color types
+0/2/3/4/6, all five filter types, and Adam7 interlacing -- the full set of
+files lodepng's decoder accepts (16-bit samples take their high byte, like
+lodepng's default RGBA8 conversion; sub-byte grayscale is scaled to 0..255).
+Encode writes color type 6 (RGBA8) with per-row adaptive None/Sub/Up
+filtering.
 """
 
 from __future__ import annotations
@@ -72,10 +76,10 @@ def encode(rgba: np.ndarray, compress_level: int = 6) -> bytes:
     )
 
 
-def _unfilter(data: bytes, h: int, w: int, channels: int) -> np.ndarray:
-    """Reverse PNG scanline filtering. Returns (H, W*channels) uint8."""
-    stride = w * channels
-    bpp = channels
+def _unfilter(data: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (byte-level). data holds h scanlines of
+    1 filter byte + `stride` bytes; bpp = filter distance in bytes (>= 1).
+    Returns (h, stride) uint8."""
     arr = np.frombuffer(data, np.uint8)
     if arr.size != h * (stride + 1):
         raise PngError("bad IDAT length")
@@ -116,13 +120,44 @@ def _unfilter(data: bytes, h: int, w: int, channels: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+#: Adam7 pass grid: (x0, y0, dx, dy)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _extract_samples(
+    rows: np.ndarray, w: int, channels: int, bitdepth: int
+) -> np.ndarray:
+    """(h, stride)-byte scanlines -> (h, w, channels) raw samples
+    (uint8 for depth <= 8, uint16 for 16)."""
+    h = rows.shape[0]
+    if bitdepth == 8:
+        return rows[:, : w * channels].reshape(h, w, channels)
+    if bitdepth == 16:
+        be = rows[:, : w * channels * 2].reshape(h, w * channels, 2)
+        vals = (be[..., 0].astype(np.uint16) << 8) | be[..., 1]
+        return vals.reshape(h, w, channels)
+    # 1/2/4-bit: MSB-first packed samples
+    bits = np.unpackbits(rows, axis=1)[:, : w * channels * bitdepth]
+    groups = bits.reshape(h, w * channels, bitdepth)
+    weights = (1 << np.arange(bitdepth - 1, -1, -1)).astype(np.uint8)
+    vals = (groups * weights).sum(axis=2).astype(np.uint8)
+    return vals.reshape(h, w, channels)
+
+
 def decode(data: bytes) -> np.ndarray:
-    """Decode a PNG to an (H, W, 4) uint8 RGBA array (lodepng::decode analog)."""
+    """Decode a PNG to an (H, W, 4) uint8 RGBA array (lodepng::decode analog).
+
+    Accepts bit depths 1/2/4/8/16, color types 0/2/3/4/6, Adam7 interlacing,
+    and tRNS transparency (palette alpha and 16-bit color keys)."""
     if data[:8] != _PNG_SIG:
         raise PngError("not a PNG file")
     pos = 8
     w = h = None
     bitdepth = colortype = None
+    interlace = 0
     idat = bytearray()
     palette = None
     trns = None
@@ -135,10 +170,8 @@ def decode(data: bytes) -> np.ndarray:
             w, h, bitdepth, colortype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if interlace:
-                raise PngError("interlaced PNG not supported")
-            if bitdepth != 8:
-                raise PngError(f"bit depth {bitdepth} not supported (only 8)")
+            if bitdepth not in (1, 2, 4, 8, 16):
+                raise PngError(f"bad bit depth {bitdepth}")
         elif tag == b"PLTE":
             palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif tag == b"tRNS":
@@ -152,25 +185,33 @@ def decode(data: bytes) -> np.ndarray:
     channels = _CHANNELS.get(colortype)
     if channels is None:
         raise PngError(f"color type {colortype} not supported")
-    raw = _unfilter(zlib.decompress(bytes(idat)), h, w, channels)
-    px = raw.reshape(h, w, channels)
 
-    out = np.empty((h, w, 4), np.uint8)
-    if colortype == 6:
-        out[:] = px
-    elif colortype == 2:
-        out[..., :3] = px
-        out[..., 3] = 255
-    elif colortype == 0:
-        out[..., :3] = px
-        out[..., 3] = 255
-    elif colortype == 4:
-        out[..., :3] = px[..., :1]
-        out[..., 3] = px[..., 1]
-    elif colortype == 3:
+    raw = zlib.decompress(bytes(idat))
+    sample_dt = np.uint16 if bitdepth == 16 else np.uint8
+    px = np.zeros((h, w, channels), sample_dt)
+    bpp = max(1, channels * bitdepth // 8)
+    rpos = 0
+    for x0, y0, dx, dy in _ADAM7 if interlace else [(0, 0, 1, 1)]:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        stride = (wp * channels * bitdepth + 7) // 8
+        nbytes = hp * (stride + 1)
+        rows = _unfilter(raw[rpos : rpos + nbytes], hp, stride, bpp)
+        rpos += nbytes
+        px[y0::dy, x0::dx] = _extract_samples(rows, wp, channels, bitdepth)
+
+    # Convert raw samples to RGBA8, following lodepng's default conversion:
+    # 16-bit takes the high byte; sub-byte grayscale scales to 0..255;
+    # palette indices index PLTE; tRNS supplies palette alpha or a color key.
+    if colortype == 3:
         if palette is None:
             raise PngError("palette image without PLTE")
         idx = px[..., 0]
+        if int(idx.max(initial=0)) >= palette.shape[0]:
+            raise PngError("palette index out of range")
+        out = np.empty((h, w, 4), np.uint8)
         out[..., :3] = palette[idx]
         if trns is not None:
             alpha = np.full(palette.shape[0], 255, np.uint8)
@@ -178,6 +219,36 @@ def decode(data: bytes) -> np.ndarray:
             out[..., 3] = alpha[idx]
         else:
             out[..., 3] = 255
+        return out
+
+    key_mask = None
+    if trns is not None and colortype in (0, 2):
+        key = np.frombuffer(trns[: 2 * channels], ">u2").astype(np.uint16)
+        if bitdepth < 16:
+            key = key.astype(sample_dt)
+        key_mask = np.all(px == key[None, None, :], axis=-1)
+
+    if bitdepth == 16:
+        px8 = (px >> 8).astype(np.uint8)
+    elif bitdepth < 8:
+        px8 = (px.astype(np.uint16) * (255 // ((1 << bitdepth) - 1))).astype(np.uint8)
+    else:
+        px8 = px
+
+    out = np.empty((h, w, 4), np.uint8)
+    if colortype == 6:
+        out[:] = px8
+    elif colortype == 2:
+        out[..., :3] = px8
+        out[..., 3] = 255
+    elif colortype == 0:
+        out[..., :3] = px8
+        out[..., 3] = 255
+    elif colortype == 4:
+        out[..., :3] = px8[..., :1]
+        out[..., 3] = px8[..., 1]
+    if key_mask is not None:
+        out[..., 3] = np.where(key_mask, 0, out[..., 3])
     return out
 
 

@@ -1,5 +1,7 @@
 """PNG/EXR codec and LDR quantization round-trip tests."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -136,3 +138,154 @@ def test_load_save_dispatch(tmp_path, rng):
     assert not hdr_p and hdr_e
     np.testing.assert_array_equal(le, imgf)
     assert np.max(np.abs(lp - imgf)) <= 1.0 / 255.0 + 1e-6
+
+
+# -- Codec breadth: files lodepng/tinyexr would accept ------------------------
+
+_ORACLE = os.path.join(os.path.dirname(__file__), "..", "native", "exr_oracle")
+
+
+def _oracle_write(path, img, comp, half):
+    import subprocess
+
+    h, w, _ = img.shape
+    subprocess.run(
+        [_ORACLE, "write", path, str(w), str(h), str(comp), str(int(half))],
+        input=np.ascontiguousarray(img, np.float32).tobytes(),
+        check=True,
+    )
+
+
+def _oracle_read(path):
+    import subprocess
+
+    out = subprocess.run([_ORACLE, "read", path], capture_output=True, check=True)
+    return np.frombuffer(out.stdout, np.float32)
+
+
+@pytest.mark.skipif(not os.path.exists(_ORACLE), reason="make -C native oracle")
+@pytest.mark.parametrize("comp", [1, 4, 5], ids=["rle", "piz", "pxr24"])
+@pytest.mark.parametrize("half", [True, False], ids=["half", "float"])
+def test_exr_decode_matches_system_openexr(tmp_path, rng, comp, half):
+    """RLE/PIZ/PXR24 decode: bit-exact against ground truth produced AND read
+    back by the system OpenEXR library (native/exr_oracle.cpp)."""
+    for h, w in [(20, 24), (33, 17), (70, 40), (1, 5)]:
+        img = rng.normal(0, 1, (h, w, 4)).astype(np.float32)
+        p = str(tmp_path / f"o_{comp}_{half}_{h}x{w}.exr")
+        _oracle_write(p, img, comp, half)
+        want = _oracle_read(p).reshape(h, w, 4)
+        got = exr.read(p)
+        np.testing.assert_array_equal(got, want)
+        # the full loader path (native codec falls back per-file) agrees
+        loaded, hdr = imageio.load(p)
+        assert hdr
+        np.testing.assert_array_equal(loaded, want)
+
+
+@pytest.mark.skipif(not os.path.exists(_ORACLE), reason="make -C native oracle")
+def test_exr_zip_matches_system_openexr(tmp_path, rng):
+    """Our ZIP/ZIPS decode also agrees with the system library byte-for-byte."""
+    img = rng.normal(0, 1, (40, 22, 4)).astype(np.float32)
+    for comp in (2, 3):
+        p = str(tmp_path / f"z{comp}.exr")
+        _oracle_write(p, img, comp, False)
+        np.testing.assert_array_equal(exr.read(p), _oracle_read(p).reshape(40, 22, 4))
+
+
+def _pil_png(arr_or_img, **save_kw):
+    import io
+
+    from PIL import Image
+
+    im = arr_or_img if isinstance(arr_or_img, Image.Image) else Image.fromarray(arr_or_img)
+    buf = io.BytesIO()
+    im.save(buf, "PNG", **save_kw)
+    return buf.getvalue()
+
+
+def test_png_decode_interlaced(rng):
+    a = rng.integers(0, 256, (37, 53, 4), np.uint8)
+    data = _pil_png(a, interlace=True)
+    assert np.array_equal(png.decode(data), a)
+
+
+def test_png_decode_16bit_gray(rng):
+    from PIL import Image
+
+    g16 = rng.integers(0, 65536, (25, 31)).astype(np.uint16)
+    im = Image.new("I;16", (31, 25))
+    im.putdata([int(v) for v in g16.ravel()])
+    data = _pil_png(im)
+    got = png.decode(data)
+    assert np.array_equal(got[..., 0], (g16 >> 8).astype(np.uint8))
+    assert np.all(got[..., 3] == 255)
+
+
+def test_png_decode_16bit_rgb_manual(rng):
+    """16-bit RGB (no PIL writer): hand-built file, PIL cross-checks ours."""
+    import io
+    import struct
+    import zlib
+
+    from PIL import Image
+
+    h, w = 9, 7
+    rgb16 = rng.integers(0, 65536, (h, w, 3)).astype(np.uint16)
+    lines = bytearray()
+    for y in range(h):
+        lines.append(0)
+        lines += rgb16[y].astype(">u2").tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + png._chunk(b"IHDR", ihdr)
+        + png._chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + png._chunk(b"IEND", b"")
+    )
+    got = png.decode(data)
+    assert np.array_equal(got[..., :3], (rgb16 >> 8).astype(np.uint8))
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGBA"))
+    assert np.array_equal(got, pil)
+
+
+@pytest.mark.parametrize("bits", [1, 2, 4])
+def test_png_decode_low_bitdepth_gray(rng, bits):
+    from PIL import Image
+
+    lv = (1 << bits) - 1
+    vals = rng.integers(0, lv + 1, (20, 30)).astype(np.uint8)
+    scaled = (vals * (255 // lv)).astype(np.uint8)
+    if bits == 1:
+        data = _pil_png(Image.fromarray(vals > 0))
+    else:
+        im = Image.fromarray(vals, "L").convert("P")
+        im.putpalette([v for g in range(256) for v in (g, g, g)])
+        data = _pil_png(im, bits=bits)
+        got = png.decode(data)
+        assert np.array_equal(got[..., 0], vals)  # palette maps index->gray idx
+        return
+    got = png.decode(data)
+    assert np.array_equal(got[..., 0], scaled)
+
+
+def test_png_decode_interlaced_palette(rng):
+    from PIL import Image
+
+    idx = rng.integers(0, 16, (22, 18)).astype(np.uint8)
+    im = Image.fromarray(idx, "P")
+    pal = [int(x) for x in rng.integers(0, 256, 48)]
+    im.putpalette(pal)
+    data = _pil_png(im, bits=4, interlace=True)
+    got = png.decode(data)
+    assert np.array_equal(got[..., :3], np.array(pal, np.uint8).reshape(-1, 3)[idx])
+
+
+def test_png_loader_falls_back_for_interlaced(tmp_path, rng):
+    """imageio.load succeeds on files the native codec rejects."""
+    a = rng.integers(0, 256, (16, 16, 4), np.uint8)
+    p = str(tmp_path / "il.png")
+    with open(p, "wb") as f:
+        f.write(_pil_png(a, interlace=True))
+    loaded, hdr = imageio.load(p)
+    assert not hdr
+    np.testing.assert_allclose(loaded, a.astype(np.float32) / 255.0, atol=1e-6)
