@@ -123,8 +123,10 @@ class NlmParams:
     # BilateralParams.uniform_alpha); reconstructs wc_alpha = a * (nw - seed).
     uniform_alpha: bool = False
     # APPROXIMATION knob (the NLM analog of the turbo bilateral): evaluate
-    # only every search_stride-th candidate offset along each search axis
-    # (offsets sdy, sdx in range(0, 2*search_radius, search_stride)).
+    # only every search_stride-th candidate offset along each search axis,
+    # phase-aligned so the zero offset (the SSD-0 self-match, which anchors
+    # the weight normalization) is always in the subset: offsets
+    # d in range(search_radius % stride - search_radius, search_radius, stride).
     # 1 = exact reference parity (all 196 candidates); 2 = 49 candidates,
     # ~3.5x faster, quality measured in tests/test_fast.py and docs.
     search_stride: int = 1

@@ -182,8 +182,12 @@ def nlm_reference(
     weight_color = np.zeros((h, w, 4), np.float32)
     norm = np.full((h, w), params.norm_seed, np.float32)
     st = params.search_stride  # 1 = exact parity; >1 = approximate subset
-    for dy in range(-s, s, st):  # half-open: [-s, s) (shaders/nonlocal.comp:36)
-        for dx in range(-s, s, st):
+    # Strided subsets are phase-aligned to include the d=0 self-match, and
+    # non-self weights carry an importance-sampling compensation of stride^2
+    # (each evaluated candidate stands in for stride^2 neighbors) so the
+    # smoothing strength matches the full search (see tests/test_fast.py).
+    for dy in range(s % st - s, s, st):  # half-open: [-s, s) (nonlocal.comp:36)
+        for dx in range(s % st - s, s, st):
             ssd = np.zeros((h, w), np.float32)
             for j in range(-p, p):  # half-open: [-p, p) (shaders/nonlocal.comp:42)
                 for i in range(-p, p):
@@ -193,6 +197,8 @@ def nlm_reference(
                     d = t - n
                     ssd += np.sum(d * d, axis=-1)
             wgt = np.exp(-ssd * inv_h2)
+            if st > 1 and not (dy == 0 and dx == 0):
+                wgt = wgt * np.float32(st * st)
             tap = pn[halo + dy : halo + dy + h, halo + dx : halo + dx + w]
             weight_color += tap * wgt[..., None]
             norm += wgt
@@ -215,6 +221,34 @@ def normalize_reference(
     safe = np.where(zero, np.float32(1.0), norm)
     out = weight_color / safe[..., None]
     return np.where(zero[..., None], sentinel, out).astype(np.float32)
+
+
+def ssim(a: np.ndarray, b: np.ndarray, peak: float = 1.0) -> float:
+    """Mean structural similarity (Wang et al. 2004): 11x11 Gaussian window
+    (sigma 1.5), C1=(0.01 L)^2, C2=(0.03 L)^2, averaged over channels."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.ndim == 2:
+        a, b = a[..., None], b[..., None]
+    x = np.arange(-5, 6, dtype=np.float64)
+    g = np.exp(-(x * x) / (2 * 1.5 * 1.5))
+    g /= g.sum()
+
+    def blur(im):  # separable 11x11 over symmetric-padded edges
+        pad = np.pad(im, ((5, 5), (5, 5), (0, 0)), mode="symmetric")
+        t = sum(g[i] * pad[i : i + im.shape[0]] for i in range(11))
+        return sum(g[j] * t[:, j : j + im.shape[1]] for j in range(11))
+
+    mu_a = blur(a)
+    mu_b = blur(b)
+    saa = blur(a * a) - mu_a * mu_a
+    sbb = blur(b * b) - mu_b * mu_b
+    sab = blur(a * b) - mu_a * mu_b
+    c1 = (0.01 * peak) ** 2
+    c2 = (0.03 * peak) ** 2
+    num = (2 * mu_a * mu_b + c1) * (2 * sab + c2)
+    den = (mu_a**2 + mu_b**2 + c1) * (saa + sbb + c2)
+    return float(np.mean(num / den))
 
 
 def psnr(a: np.ndarray, b: np.ndarray, peak: float = 1.0) -> float:

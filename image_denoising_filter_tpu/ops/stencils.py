@@ -467,16 +467,23 @@ def _nlm_kernel(
     t1 = tgt_tile[1, rht - p : rht - p + eh, lht - p : lht - p + ew].astype(cdtype)
     t2 = tgt_tile[2, rht - p : rht - p + eh, lht - p : lht - p + ew].astype(cdtype)
 
-    erow = rhn - halo
+    # Strided (approximate) mode keeps the zero offset in the subset: start
+    # the sweep at s % stride so sdy == s (d == 0) is always hit. Non-self
+    # offsets get an importance-sampling weight compensation of stride^2
+    # (folded into the exp argument as a log bias, zero extra vector ops).
+    start = s % stride
+    log_m = float(np.log(float(stride * stride)))
+    k0 = (s - start) // stride  # fori step where sdy == s
+    erow = rhn - halo + start
     ecol = lhn - halo
-    trow = rhn - s  # tap center row: erow + p
+    trow = rhn - s + start  # tap center row: erow + p
     tcol = lhn - s
     n_carry = 3 if uniform_alpha else 4
 
     def row_body(step, carry):
         wc0, wc1, wc2, wc3, nw = carry[:5]
         vn = carry[5:]  # neighbour planes, rolled up step*stride rows
-        for sdx in range(0, 2 * s, stride):
+        for sdx in range(start, 2 * s, stride):
             c0 = ecol + sdx
             n0 = vn[0][erow : erow + eh, c0 : c0 + ew]
             n1 = vn[1][erow : erow + eh, c0 : c0 + ew]
@@ -488,7 +495,16 @@ def _nlm_kernel(
             # Separable 2p x 2p box sum of e -> patch SSD per tile pixel
             # (log-tree sliding sums, rows then lanes).
             ssd = _box_lanes(_box_rows(e, 2 * p, th), 2 * p, tw)
-            wgt = jnp.exp(ssd * jnp.float32(-inv_h2))
+            arg = ssd * jnp.float32(-inv_h2)
+            if stride > 1:
+                if sdx == s:  # d_x == 0: self-match only where d_y == 0 too
+                    bias = jnp.where(
+                        step == k0, jnp.float32(0.0), jnp.float32(log_m)
+                    )
+                else:
+                    bias = jnp.float32(log_m)
+                arg = arg + bias
+            wgt = jnp.exp(arg)
             tc = tcol + sdx
             c0v = vn[0][trow : trow + th, tc : tc + tw]
             c1v = vn[1][trow : trow + th, tc : tc + tw]
@@ -505,7 +521,7 @@ def _nlm_kernel(
         )
         return (wc0, wc1, wc2, wc3, nw, *rolled)
 
-    n_steps = -(-2 * s // stride)
+    n_steps = len(range(start, 2 * s, stride))
     zero = jnp.zeros((th, tw), jnp.float32)
     seed = jnp.full((th, tw), norm_seed, jnp.float32)
     init = (zero, zero, zero, zero, seed, *(nbr_tile[c] for c in range(n_carry)))
@@ -575,7 +591,7 @@ def _nlm_planar_frames(
         stride=stride,
         cdtype=cdtype,
     )
-    n_offsets = (-(-2 * s // stride)) ** 2
+    n_offsets = len(range(s % stride, 2 * s, stride)) ** 2
     wc, nw = pl.pallas_call(
         kernel,
         grid=(gh, gw, n_frames),

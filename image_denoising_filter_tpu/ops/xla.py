@@ -147,8 +147,10 @@ def nlm_xla(
     inv_h2 = jnp.float32(1.0 / (params.h**2))
 
     # Search offsets are half-open: [-s, s) x [-s, s) (shaders/nonlocal.comp:36-38).
-    # search_stride > 1 evaluates the approximate offset subset (config.py).
-    sy, sx = np.mgrid[0 : 2 * s : params.search_stride, 0 : 2 * s : params.search_stride]
+    # search_stride > 1 evaluates the approximate offset subset, phase-aligned
+    # to include the zero offset (config.py).
+    st = params.search_stride
+    sy, sx = np.mgrid[s % st : 2 * s : st, s % st : 2 * s : st]
     offs = jnp.asarray(np.stack([sy.ravel(), sx.ravel()], axis=1).astype(np.int32))
 
     t_ext = pt[:eh, :ew]  # target patch region, fixed across offsets
@@ -165,6 +167,10 @@ def nlm_xla(
             e, 0.0, jax.lax.add, (2 * p, 2 * p), (1, 1), "valid"
         )
         wgt = jnp.exp(-ssd * inv_h2)
+        if st > 1:
+            # importance-sampling compensation for non-self offsets
+            is_self = jnp.logical_and(off[0] == s, off[1] == s)
+            wgt = wgt * jnp.where(is_self, 1.0, float(st * st))
         tap = jax.lax.dynamic_slice(pn, (off[0] + p, off[1] + p, 0), (h, w, 4))
         return (wc + tap[..., :nch] * wgt[..., None], nw + wgt), None
 

@@ -54,6 +54,44 @@ def test_turbo_constant_alpha_preserved(rng):
     np.testing.assert_allclose(got[..., 3], 0.5, atol=1e-4)
 
 
+def test_nlm_stride2_close_to_exact(rng):
+    """The approximate NLM (stride-2 search, 49 of 196 candidates) must track
+    the exact NLM output closely on noisy structured content."""
+    from image_denoising_filter_tpu.config import NlmParams
+    from image_denoising_filter_tpu.ops import nlm_xla, normalize_xla
+
+    clean, noisy = _scene(rng)
+    exact = np.asarray(normalize_xla(*nlm_xla(noisy, noisy, NlmParams())))
+    fast = np.asarray(
+        normalize_xla(*nlm_xla(noisy, noisy, NlmParams(search_stride=2)))
+    )
+    db = ref.psnr(fast[..., :3], exact[..., :3])
+    assert db >= 40.0, f"stride-2 NLM vs exact: {db:.1f} dB"
+
+
+def test_nlm_stride2_denoises_as_well_as_exact(rng):
+    from image_denoising_filter_tpu.config import NlmParams
+    from image_denoising_filter_tpu.ops import nlm_xla, normalize_xla
+
+    clean, noisy = _scene(rng)
+    exact = np.asarray(normalize_xla(*nlm_xla(noisy, noisy, NlmParams())))
+    fast = np.asarray(
+        normalize_xla(*nlm_xla(noisy, noisy, NlmParams(search_stride=2)))
+    )
+    db_exact = ref.psnr(exact[..., :3], clean[..., :3])
+    db_fast = ref.psnr(fast[..., :3], clean[..., :3])
+    assert db_fast >= db_exact - 0.5, f"{db_fast:.1f} vs exact {db_exact:.1f}"
+
+
+def test_ssim_metric_sanity(rng):
+    a = rng.uniform(0, 1, (48, 64, 3))
+    assert ref.ssim(a, a) == pytest.approx(1.0)
+    noisy = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1)
+    v = ref.ssim(a, noisy)
+    assert 0.5 < v < 1.0
+    assert ref.ssim(a, np.full_like(a, a.mean())) < 0.1
+
+
 def test_turbo_session_and_cli(tmp_path):
     from image_denoising_filter_tpu import cli
     from image_denoising_filter_tpu.utils import imageio

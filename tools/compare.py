@@ -28,7 +28,7 @@ def main(argv=None) -> int:
     ap.add_argument("--channels", default="rgb", choices=["rgb", "rgba"])
     args = ap.parse_args(argv)
 
-    from image_denoising_filter_tpu.ops.reference import psnr
+    from image_denoising_filter_tpu.ops.reference import psnr, ssim
     from image_denoising_filter_tpu.utils import imageio
 
     a, _ = imageio.load(args.a)
@@ -52,6 +52,7 @@ def main(argv=None) -> int:
     d = np.abs(a.astype(np.float64) - b.astype(np.float64))
     print(f"shape: {a.shape}   peak: {peak:g}")
     print(f"PSNR : {psnr(a, b, peak=peak):.2f} dB")
+    print(f"SSIM : {ssim(a, b, peak=peak):.5f}")
     print(f"max |diff| : {d.max():.6g}   mean |diff| : {d.mean():.6g}")
     for c, name in enumerate("RGBA"[:nch]):
         print(f"  {name}: max {d[..., c].max():.6g}  mean {d[..., c].mean():.6g}")
