@@ -246,25 +246,20 @@ def spatial_cross_bilateral_layers(
     return run(target, layer)
 
 
-def temporal_nlm_sharded(
+def temporal_nlm_sharded_partials(
     target: jnp.ndarray,
     frames: jnp.ndarray,
     params: NlmParams = NlmParams(),
-    norm_params: NormalizeParams = NormalizeParams(),
     mesh: Optional[Mesh] = None,
     tiling: Optional[TilingConfig] = None,
     valid: Optional[jnp.ndarray] = None,
     linear: bool = False,
-) -> jnp.ndarray:
-    """Full multichip temporal NLM: frames sharded over 'frame' (DP), rows
-    over 'y' (spatial), weight partials psum'd over 'frame', then normalized.
-
-    target: (H, W, 4) replicated over 'frame'; frames: (F, H, W, 4) with F
-    divisible by the 'frame' axis size and H by the 'y' axis size. `valid`
-    ((F,) float 0/1, default all-ones) masks padding frames: a masked frame
-    contributes neither weights nor its norm seed, so padding F up to a
-    multiple of the 'frame' axis is semantics-free.
-    """
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Weight partials of multichip temporal NLM over one frame batch: frames
+    sharded over 'frame' (DP), rows over 'y' (spatial), partials psum'd over
+    'frame'. Returns ((H, W, 4), (H, W)) row-sharded accumulators; sum across
+    batches and normalize() to finish. `valid` ((F,) float 0/1) masks padding
+    frames: a masked frame contributes neither weights nor its norm seed."""
     halo = params.search_radius + params.patch_radius
     # Each frame contributes norm_seed once (shaders/nonlocal.comp:32); the
     # per-device kernel seeds its local frames, and psum adds them up -- same
@@ -282,7 +277,7 @@ def temporal_nlm_sharded(
             P(FRAME_AXIS, SPATIAL_AXIS, None, None),
             P(FRAME_AXIS),
         ),
-        out_specs=P(SPATIAL_AXIS, None, None),
+        out_specs=(P(SPATIAL_AXIS, None, None), P(SPATIAL_AXIS, None)),
     )
     def run(t_local, frames_local, valid_local):
         rows = t_local.shape[0]
@@ -306,7 +301,31 @@ def temporal_nlm_sharded(
         (wc, nw), _ = jax.lax.scan(body, init, (frames_local, valid_local))
         wc = jax.lax.psum(wc, FRAME_AXIS)
         nw = jax.lax.psum(nw, FRAME_AXIS)
-        out = ops.normalize(wc, nw, norm_params)
-        return out[halo : halo + rows]
+        return wc[halo : halo + rows], nw[halo : halo + rows]
 
     return run(target, frames, valid)
+
+
+def temporal_nlm_sharded(
+    target: jnp.ndarray,
+    frames: jnp.ndarray,
+    params: NlmParams = NlmParams(),
+    norm_params: NormalizeParams = NormalizeParams(),
+    mesh: Optional[Mesh] = None,
+    tiling: Optional[TilingConfig] = None,
+    valid: Optional[jnp.ndarray] = None,
+    linear: bool = False,
+) -> jnp.ndarray:
+    """Full multichip temporal NLM in one shot: partials over the whole frame
+    stack, then normalize. target: (H, W, 4); frames: (F, H, W, 4) with F
+    divisible by the 'frame' axis size and H by the 'y' axis size. For
+    streamed upload of long frame sequences, see Session._run_sharded, which
+    feeds temporal_nlm_sharded_partials chunk by chunk with the next chunk's
+    host->HBM transfer in flight under the current chunk's kernels."""
+    wc, nw = temporal_nlm_sharded_partials(
+        target, frames, params, mesh, tiling, valid, linear
+    )
+    # Pointwise epilogue: the XLA normalize (same math as the Pallas one,
+    # asserted equal in tests) lets GSPMD partition along the existing row
+    # sharding; a pallas_call would need its own shard_map here.
+    return ops_xla.normalize_xla(wc, nw, norm_params)

@@ -279,38 +279,9 @@ class Session:
             paths = list(ds.frames)
             if cfg.overlap and len(paths) > 1:
                 paths = paths[:-1]
-            # Pad the frame count to a multiple of the 'frame' axis; padded
-            # frames are masked out via `valid` so they contribute neither
-            # weights nor the per-frame norm seed.
-            n_f = self.mesh.devices.shape[0]
-            frames = [self._load(p) for p in paths]
-            n_pad = (-len(frames)) % n_f
-            valid = np.concatenate(
-                [np.ones(len(frames), np.float32), np.zeros(n_pad, np.float32)]
-            )
-            frames += [np.zeros_like(frames[0])] * n_pad
-            # Row-pad on the host (same rule as _pad_rows) so the stack goes
-            # up in ONE transfer instead of a device round-trip per frame.
-            ph, mode = self._row_padding(frames[0].shape[0], halo, border)
-            if ph:
-                frames = [
-                    np.pad(f, ((0, ph), (0, 0), (0, 0)), mode=mode) for f in frames
-                ]
-            stacked = np.stack(frames)
-            with report.transfer():
-                frames_dev = jax.device_put(stacked)
-            with report.execute():
-                out = temporal_nlm_sharded(
-                    tgt,
-                    frames_dev,
-                    self.nlm_params,
-                    mesh=self.mesh,
-                    tiling=self.tiling,
-                    valid=jax.device_put(valid),
-                    linear=linear,
-                )
-                _fence(out)
-            return out[:h]
+            return self._run_sharded_temporal(
+                tgt, paths, report, halo, border, linear
+            )[:h]
         if cfg.nlm:
             from ..ops import normalize as norm_op
 
@@ -325,6 +296,73 @@ class Session:
             out = spatial_bilateral(tgt, bp, self.mesh, self.tiling, linear=linear)
             _fence(out)
         return out[:h]
+
+    def _run_sharded_temporal(self, tgt, paths, report, halo, border, linear):
+        """Streamed multichip temporal NLM: frames are uploaded and consumed
+        in chunks of the mesh's 'frame' axis size, with the NEXT chunk's
+        host->HBM transfer issued before blocking on the current chunk's
+        kernels (the multichip form of the copy/compute overlap). Partials
+        accumulate on device; one normalize at the end -- the single-chip
+        dispatch count is len(paths) accumulate kernels + 1 normalize, same
+        as the reference's loop (src/main.cpp:1554-1624, 1649-1652)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..config import BorderPolicy
+        from ..parallel.mesh import FRAME_AXIS, SPATIAL_AXIS
+        from ..parallel.spatial import temporal_nlm_sharded_partials
+        from ..ops import xla as ops_xla
+
+        n_f = self.mesh.devices.shape[0]
+        sharding = NamedSharding(self.mesh, P(FRAME_AXIS, SPATIAL_AXIS, None, None))
+        mode = "edge" if border == BorderPolicy.CLAMP else "constant"
+        hp = int(tgt.shape[0])  # tgt is already row-padded to the shard grid
+
+        def upload_chunk(chunk_paths):
+            frames = [self._load(p) for p in chunk_paths]
+            n_pad = n_f - len(frames)
+            valid = np.concatenate(
+                [np.ones(len(frames), np.float32), np.zeros(n_pad, np.float32)]
+            )
+            frames += [np.zeros_like(frames[0])] * n_pad
+            if frames[0].shape[0] != hp:
+                frames = [
+                    np.pad(
+                        f, ((0, hp - f.shape[0]), (0, 0), (0, 0)), mode=mode
+                    )
+                    for f in frames
+                ]
+            with report.transfer():
+                dev = jax.device_put(np.stack(frames), sharding)
+                vdev = jax.device_put(valid)
+            return dev, vdev
+
+        chunks = [paths[i : i + n_f] for i in range(0, len(paths), n_f)]
+        pending = upload_chunk(chunks[0]) if chunks else None
+        wc = nw = None
+        with report.execute():
+            for ci in range(len(chunks)):
+                frames_dev, valid_dev = pending
+                # Issue the next chunk's upload BEFORE consuming this one:
+                # device_put is async, so the DMA runs under the kernels.
+                if ci + 1 < len(chunks):
+                    pending = upload_chunk(chunks[ci + 1])
+                pwc, pnw = temporal_nlm_sharded_partials(
+                    tgt,
+                    frames_dev,
+                    self.nlm_params,
+                    mesh=self.mesh,
+                    tiling=self.tiling,
+                    valid=valid_dev,
+                    linear=linear,
+                )
+                wc = pwc if wc is None else wc + pwc
+                nw = pnw if nw is None else nw + pnw
+            # Pointwise epilogue: the XLA normalize partitions along the
+            # existing row sharding under GSPMD (same math as the Pallas
+            # normalize, asserted equal in tests).
+            out = ops_xla.normalize_xla(wc, nw)
+            _fence(out)
+        return out
 
     def _dump_weights(self, wc, nw) -> None:
         wc = np.asarray(wc)

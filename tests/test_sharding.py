@@ -91,6 +91,29 @@ def test_split_halo_interior_edge_stitching():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_session_sharded_temporal_streams_chunks(tmp_path):
+    """Session's sharded multiframe path uploads frames in 'frame'-axis-sized
+    chunks with the next chunk's transfer in flight; output must match the
+    single-device multiframe run (up to chunked-sum reassociation)."""
+    import os
+
+    from image_denoising_filter_tpu.config import RunConfig
+    from image_denoising_filter_tpu.runtime.session import Session
+    from image_denoising_filter_tpu.utils import imageio
+
+    rng = np.random.default_rng(0)
+    os.makedirs(tmp_path / "anim", exist_ok=True)
+    for i in range(7):  # 7 frames over a 2-wide frame axis -> 4 chunks, 1 pad
+        imageio.save(str(tmp_path / "anim" / f"f_{i:04d}.png"), _frame(i, h=64, w=32))
+    target = str(tmp_path / "anim" / "f_0000.png")
+    cfg = RunConfig(nlm=True, multiframe=True)
+    single = Session(target, nlm_params=NP_, output_dir=str(tmp_path)).run(cfg)
+    sharded = Session(
+        target, nlm_params=NP_, output_dir=str(tmp_path), mesh_shape=(2, 4)
+    ).run(cfg)
+    np.testing.assert_allclose(sharded.image, single.image, rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (1, 8), (8, 1)])
 def test_temporal_nlm_sharded_full(mesh_shape):
     """Frame-DP x spatial sharding: psum of weight partials over 'frame' must
