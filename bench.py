@@ -71,12 +71,18 @@ def main() -> None:
     mpix_b = h * w / dt_b / 1e6
     mpix_n = h * w / dt_n / 1e6
 
-    # Informational: the opt-in approximate turbo mode (per-channel bilateral
-    # grid, ~44 dB vs the exact kernel on noisy natural content).
+    # First-class quality-gated approximate modes (opt-in via --turbo):
+    # per-channel bilateral grid (~44 dB vs exact at d=2 on noisy content)
+    # and stride-2 compensated NLM search (~41 dB vs exact, equal denoising
+    # PSNR); see docs/PERFORMANCE.md and tests/test_fast.py.
     from image_denoising_filter_tpu.ops import bilateral_fast
 
     dt_t = slope_time(lambda x: bilateral_fast(x, bp, 8, 2), img)
     mpix_t = h * w / dt_t / 1e6
+
+    nlp_t = NlmParams(uniform_alpha=True, search_stride=2)
+    dt_nt = slope_time(lambda nb, tgt: nlm_accumulate(tgt, nb, nlp_t)[0], img2, img)
+    mpix_nt = h * w / dt_nt / 1e6
 
     # PSNR parity: our kernel in CPU-reference-params mode vs the CPU oracle
     # (interior only -- the CPU path zeroes a radius-wide border,
@@ -98,6 +104,10 @@ def main() -> None:
     ratio_b = mpix_b / 5000.0
     ratio_n = mpix_n / 500.0
     vs_baseline = math.sqrt(ratio_b * ratio_n)
+    # Same geomean over the quality-gated approximate modes (the targets
+    # assume approximation -- the measured elementwise ceiling of the chip
+    # caps any EXACT 1681-tap bilateral at ~128 Mpix/s; docs/PERFORMANCE.md).
+    vs_baseline_turbo = math.sqrt((mpix_t / 5000.0) * (mpix_nt / 500.0))
 
     print(
         json.dumps(
@@ -109,6 +119,8 @@ def main() -> None:
                 "bilateral_4k_mpix_s": round(mpix_b, 1),
                 "nlm_4k_mpix_s": round(mpix_n, 1),
                 "turbo_d2_4k_mpix_s": round(mpix_t, 1),
+                "nlm_turbo_4k_mpix_s": round(mpix_nt, 1),
+                "vs_baseline_turbo_modes": round(vs_baseline_turbo, 4),
                 "psnr_parity_db": round(psnr, 1),
             }
         )

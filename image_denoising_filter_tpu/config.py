@@ -72,12 +72,14 @@ class BilateralParams:
     @property
     def effective_radius(self) -> int:
         """Radius after spatial-weight truncation (== radius when
-        truncate_eps is 0 or sigma_spatial is large)."""
+        truncate_eps is 0 or sigma_spatial is large). floor, not ceil: a row
+        at |dy| = floor(R)+1 has dy^2 > R^2, i.e. every tap in it is already
+        below truncate_eps."""
         if self.truncate_eps <= 0.0:
             return self.radius
         import math
 
-        r_eff = math.ceil(self.sigma_spatial * math.sqrt(-2.0 * math.log(self.truncate_eps)))
+        r_eff = math.floor(self.sigma_spatial * math.sqrt(-2.0 * math.log(self.truncate_eps)))
         return min(self.radius, max(1, r_eff))
 
 

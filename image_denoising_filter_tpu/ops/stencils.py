@@ -35,7 +35,6 @@ ops/xla.py.
 from __future__ import annotations
 
 import functools
-import itertools
 from typing import Optional
 
 import jax
@@ -54,8 +53,9 @@ from ..config import (
 )
 
 DEFAULT_TILE_H = 128
-DEFAULT_TILE_W = 512  # 1080p/4K sweep optimum on v5e
-DEFAULT_TILE_H_NLM = 64  # NLM sweeps slightly faster with shorter tiles
+DEFAULT_TILE_W = 512  # bilateral 1080p/4K sweep optimum on v5e
+DEFAULT_TILE_H_NLM = 128  # round-2 sweep: 128x1024 is the NLM optimum
+DEFAULT_TILE_W_NLM = 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -75,10 +75,14 @@ def _halos(r: int) -> tuple[int, int]:
 
 
 def _pick_tile(
-    h: int, w: int, tiling: Optional[TilingConfig], default_th: int = DEFAULT_TILE_H
+    h: int,
+    w: int,
+    tiling: Optional[TilingConfig],
+    default_th: int = DEFAULT_TILE_H,
+    default_tw: int = DEFAULT_TILE_W,
 ) -> tuple[int, int]:
     th = tiling.tile_h if tiling and tiling.tile_h else min(_round_up(h, 8), default_th)
-    tw = tiling.tile_w if tiling and tiling.tile_w else min(_round_up(w, 128), DEFAULT_TILE_W)
+    tw = tiling.tile_w if tiling and tiling.tile_w else min(_round_up(w, 128), default_tw)
     assert th % 8 == 0 and tw % 128 == 0, "tile_h must be 8-aligned, tile_w 128-aligned"
     return th, tw
 
@@ -121,30 +125,49 @@ def _pad_planar(
 # ---------------------------------------------------------------------------
 
 
-def _circle_taps(radius: int, sigma_spatial: float, truncate_eps: float):
-    """Static (dy, dx, log_spatial_weight) tap list.
+def _circle_runs(
+    radius: int, sigma_spatial: float, truncate_eps: float, max_extra: int = 2
+):
+    """Static (dy_start, n_rows, half_width) row runs covering the exact
+    truncation DISK {dy^2 + dx^2 <= R^2}, R^2 = 2 ss^2 ln(1/eps).
 
-    Spatial-weight truncation, tap-exact: a tap contributes
+    Spatial-weight truncation is tap-exact: a tap contributes
     w = exp(-0.5 (dy^2+dx^2)/ss^2) * w_color with w_color <= 1, so any tap
     with spatial weight < truncate_eps cannot move the float32-normalized
-    output (see BilateralParams.truncate_eps). The keep set
-    {dy^2 + dx^2 <= R^2}, R^2 = 2 ss^2 ln(1/eps), is a DISK -- ~pi/4 of the
-    square window the reference iterates (shaders/bialteral.comp:51-53);
-    for the reference sigma_s=2.0 that is 465 taps instead of 41x41=1681."""
+    output (BilateralParams.truncate_eps). The disk is ~pi/4 of the square
+    window the reference iterates (shaders/bialteral.comp:51-53) -- ~505 vs
+    41x41=1681 taps at the reference sigma_s=2.0.
+
+    Rows are greedily grouped into contiguous runs whose shared dx half-width
+    exceeds no member row's exact width by more than `max_extra` (the slack
+    taps are legitimate window taps, merely not droppable): each run becomes
+    ONE roll-carried fori_loop with a static dx unroll, keeping the Mosaic
+    program a few hundred ops -- a fully tap-unrolled kernel (~4k ops) takes
+    the compile service >30 min."""
     import math
 
-    taps = []
     if truncate_eps > 0.0:
         r2_max = 2.0 * sigma_spatial * sigma_spatial * math.log(1.0 / truncate_eps)
     else:
         r2_max = float("inf")
+    rows = []
     for dy in range(-radius, radius + 1):
-        for dx in range(-radius, radius + 1):
-            d2 = dy * dy + dx * dx
-            if d2 <= r2_max:
-                lsw = -0.5 * d2 / (sigma_spatial * sigma_spatial)
-                taps.append((dy, dx, np.float32(lsw)))
-    return taps
+        if dy * dy <= r2_max:
+            k = radius if math.isinf(r2_max) else int(math.sqrt(r2_max - dy * dy))
+            rows.append((dy, min(radius, k)))
+    runs = []
+    cur = None  # (dy_start, widths)
+    for dy, k in rows:
+        if cur is not None:
+            merged = cur[1] + [k]
+            if max(merged) - min(merged) <= max_extra:
+                cur = (cur[0], merged)
+                continue
+            runs.append((cur[0], len(cur[1]), max(cur[1])))
+        cur = (dy, [k])
+    if cur is not None:
+        runs.append((cur[0], len(cur[1]), max(cur[1])))
+    return runs
 
 
 def _bilateral_kernel(
@@ -156,11 +179,13 @@ def _bilateral_kernel(
     guide_tile,
     sem,
     *,
-    taps,
+    runs,
+    radius: int,
     th: int,
     tw: int,
     rh: int,
     lh: int,
+    inv_ss2: float,
     inv2sc: float,
     blue_bug: bool,
     guided: bool,
@@ -168,11 +193,14 @@ def _bilateral_kernel(
     uniform_alpha: bool,
     cdtype,
 ):
-    """Fully static tap walk: every (dy, dx) is a compile-time constant, so all
-    VMEM reads are static 2D slices of per-channel planes (Mosaic folds the
-    shifted read into the consuming op; measured ~1 op per slice+add on v5e).
-    Per-channel 2D planes, never a sliced 3D slab -- slicing a 3D value makes
-    Mosaic relayout the whole slab per access, measured 43x slower."""
+    """Disk-masked tap walk as a small sequence of roll-carried fori_loops.
+
+    Each run (dy_start, n_rows, half_width) from _circle_runs is one fori over
+    its rows: the channel planes are pre-rolled so every in-loop slice is
+    static (Mosaic cannot prove alignment of dynamic sublane offsets), and the
+    dx sweep is a static unroll of the run's width. Per-channel 2D planes,
+    never a sliced 3D slab -- slicing a 3D value makes Mosaic relayout the
+    whole slab per access, measured 43x slower."""
     i, j = pl.program_id(0), pl.program_id(1)
     rows = pl.ds(i * th, th + 2 * rh)
     cols = pl.ds(j * tw, tw + 2 * lh)
@@ -186,55 +214,76 @@ def _bilateral_kernel(
 
     vimg = [img_tile[c].astype(cdtype) if c < 3 else img_tile[c] for c in range(4)]
     vg = [guide_tile[c].astype(cdtype) for c in range(3)] if guided else None
-    wsrc = vg if guided else vimg
+    wsrc_base = vg if guided else vimg
 
     # Center pixels (weight source): tile-relative (0,0) sits at scratch (rh, lh).
-    cr = wsrc[0][rh : rh + th, lh : lh + tw]
-    cg = wsrc[1][rh : rh + th, lh : lh + tw]
-    cb = wsrc[2][rh : rh + th, lh : lh + tw]
+    cr = wsrc_base[0][rh : rh + th, lh : lh + tw]
+    cg = wsrc_base[1][rh : rh + th, lh : lh + tw]
+    cb = wsrc_base[2][rh : rh + th, lh : lh + tw]
+
+    n_img = 3 if uniform_alpha else 4
+    plane_h = th + 2 * rh
+    rbase = rh - radius  # static slice base; roll supplies the row offset
+
+    def pre_roll(v, p):
+        return pltpu.roll(v, (plane_h - p) % plane_h, axis=0) if p % plane_h else v
 
     zero = jnp.zeros((th, tw), jnp.float32)
-    wc0 = wc1 = wc2 = wc3 = nw = zero
+    accs = (zero, zero, zero, zero, zero)
 
-    # Group taps by row so row-partial accumulators keep the live set small
-    # (one long unrolled block, no fori carries -- wide carried DAGs can blow
-    # Mosaic's scoped-VMEM stack).
-    for dy, row_taps in itertools.groupby(taps, key=lambda t: t[0]):
-        a0 = a1 = a2 = a3 = an = None
-        for _, dx, lsw in row_taps:
-            r0, c0 = rh + dy, lh + dx
-            gr = wsrc[0][r0 : r0 + th, c0 : c0 + tw]
-            gg = wsrc[1][r0 : r0 + th, c0 : c0 + tw]
-            dr = cr - gr
-            dg = cg - gg
-            ssd = dr * dr + dg * dg
-            gb = wsrc[2][r0 : r0 + th, c0 : c0 + tw]
-            if not blue_bug:
-                db = cb - gb
-                ssd = ssd + db * db
-            wgt = jnp.exp(ssd.astype(jnp.float32) * jnp.float32(-inv2sc) + lsw)
-            if guided:
-                t0 = vimg[0][r0 : r0 + th, c0 : c0 + tw]
-                t1 = vimg[1][r0 : r0 + th, c0 : c0 + tw]
-                t2 = vimg[2][r0 : r0 + th, c0 : c0 + tw]
-            else:
-                t0, t1, t2 = gr, gg, gb
-            t0 = t0.astype(jnp.float32)
-            t1 = t1.astype(jnp.float32)
-            t2 = t2.astype(jnp.float32)
-            a0 = t0 * wgt if a0 is None else a0 + t0 * wgt
-            a1 = t1 * wgt if a1 is None else a1 + t1 * wgt
-            a2 = t2 * wgt if a2 is None else a2 + t2 * wgt
-            if not uniform_alpha:
-                t3 = vimg[3][r0 : r0 + th, c0 : c0 + tw]
-                a3 = t3 * wgt if a3 is None else a3 + t3 * wgt
-            an = wgt if an is None else an + wgt
-        wc0 = wc0 + a0
-        wc1 = wc1 + a1
-        wc2 = wc2 + a2
-        if not uniform_alpha:
-            wc3 = wc3 + a3
-        nw = nw + an
+    for dy0, n_rows, hw in runs:
+        cbase = lh - hw
+        shift = dy0 + radius  # iteration i reads absolute row rh + dy0 + i
+
+        def row_body(t, carry, dy0=dy0, hw=hw, cbase=cbase):
+            wc0, wc1, wc2, wc3, nw = carry[:5]
+            vimg_r = carry[5 : 5 + n_img]
+            vg_r = carry[5 + n_img :]
+            wsrc = vg_r if guided else vimg_r
+            fy = (t + dy0).astype(jnp.float32)
+            row_term = jnp.float32(-0.5 * inv_ss2) * fy * fy
+            for dx in range(2 * hw + 1):
+                col_term = np.float32(-0.5 * inv_ss2 * (dx - hw) ** 2)
+                c0 = cbase + dx
+                gr = wsrc[0][rbase : rbase + th, c0 : c0 + tw]
+                gg = wsrc[1][rbase : rbase + th, c0 : c0 + tw]
+                dr = cr - gr
+                dg = cg - gg
+                ssd = dr * dr + dg * dg
+                gb = wsrc[2][rbase : rbase + th, c0 : c0 + tw]
+                if not blue_bug:
+                    db = cb - gb
+                    ssd = ssd + db * db
+                wgt = jnp.exp(
+                    (row_term + col_term) - ssd.astype(jnp.float32) * jnp.float32(inv2sc)
+                )
+                if guided:
+                    t0 = vimg_r[0][rbase : rbase + th, c0 : c0 + tw]
+                    t1 = vimg_r[1][rbase : rbase + th, c0 : c0 + tw]
+                    t2 = vimg_r[2][rbase : rbase + th, c0 : c0 + tw]
+                else:
+                    t0, t1, t2 = gr, gg, gb
+                wc0 = wc0 + t0.astype(jnp.float32) * wgt
+                wc1 = wc1 + t1.astype(jnp.float32) * wgt
+                wc2 = wc2 + t2.astype(jnp.float32) * wgt
+                if not uniform_alpha:
+                    t3 = vimg_r[3][rbase : rbase + th, c0 : c0 + tw]
+                    wc3 = wc3 + t3 * wgt
+                nw = nw + wgt
+            rolled = tuple(
+                pltpu.roll(v, v.shape[0] - 1, axis=0) for v in (*vimg_r, *vg_r)
+            )
+            return (wc0, wc1, wc2, wc3, nw, *rolled)
+
+        init = (
+            *accs,
+            *(pre_roll(vimg[c], shift) for c in range(n_img)),
+            *((pre_roll(vg[c], shift) for c in range(3)) if guided else ()),
+        )
+        out = jax.lax.fori_loop(0, n_rows, row_body, init)
+        accs = out[:5]
+
+    wc0, wc1, wc2, wc3, nw = accs
     if uniform_alpha:
         # sum(w * a) == a * sum(w) when alpha is one constant everywhere.
         wc3 = img_tile[3, rh : rh + th, lh : lh + tw] * nw
@@ -279,17 +328,19 @@ def _bilateral_planar(
         else jnp.zeros((4, 8, 128), jnp.float32)
     )
 
-    taps = _circle_taps(r, params.sigma_spatial, params.truncate_eps)
+    runs = _circle_runs(r, params.sigma_spatial, params.truncate_eps)
     cdtype = jnp.bfloat16 if (
         tiling and tiling.compute_dtype == "bfloat16"
     ) else jnp.float32
     kernel = functools.partial(
         _bilateral_kernel,
-        taps=taps,
+        runs=runs,
+        radius=r,
         th=th,
         tw=tw,
         rh=rh,
         lh=lh,
+        inv_ss2=1.0 / (params.sigma_spatial**2),
         inv2sc=0.5 / (params.sigma_color**2),
         blue_bug=params.blue_bug,
         guided=guided,
@@ -298,7 +349,7 @@ def _bilateral_planar(
         cdtype=cdtype,
     )
     tile_shape = (4, th + 2 * rh, tw + 2 * lh)
-    n_taps = len(taps)
+    n_taps = sum(n * (2 * hw + 1) for _, n, hw in runs)
     wc, nw = pl.pallas_call(
         kernel,
         grid=grid,
@@ -564,7 +615,7 @@ def _nlm_planar_frames(
     stride = params.search_stride
     rht, lht = _halos(p)
     rhn, lhn = _halos(s + p)
-    th, tw = _pick_tile(h, w, tiling, DEFAULT_TILE_H_NLM)
+    th, tw = _pick_tile(h, w, tiling, DEFAULT_TILE_H_NLM, DEFAULT_TILE_W_NLM)
     gh, gw = pl.cdiv(h, th), pl.cdiv(w, tw)
     padded_t = _pad_planar(tgt, rht, lht, params.border, gh, th, gw, tw)
     pad_f = jax.vmap(
