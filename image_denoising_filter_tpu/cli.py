@@ -148,6 +148,7 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"profiler unavailable: {e}", file=sys.stderr)
 
         frame_cache: dict = {}
+        os.makedirs(args.output_dir, exist_ok=True)
         for target in targets:
             out_dir = args.output_dir
             if args.all_frames:

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import BilateralParams, BorderPolicy
+from .stencils import _use_interpret
 
 
 def _gauss_taps(sigma: float, radius: int) -> np.ndarray:
@@ -81,13 +82,29 @@ def bilateral_fast(
     grid reduction d (1 disables; 2 is safe for sigma_spatial >= 2, 4 trades
     a little edge sharpness for more speed).
     """
-    img = img.astype(jnp.float32)
-    h, w, _ = img.shape
+    planar = jnp.transpose(img.astype(jnp.float32), (2, 0, 1))
+    out = bilateral_fast_planar(planar, params, levels, downsample)
+    return jnp.transpose(out, (1, 2, 0))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def bilateral_fast_planar(
+    planar: jnp.ndarray,
+    params: BilateralParams = BilateralParams(),
+    levels: int = 8,
+    downsample: int = 2,
+) -> jnp.ndarray:
+    """Planar-layout core of `bilateral_fast`: (4, H, W) in, (4, H, W) out.
+
+    The channel-minor (H, W, 4) public layout costs two full-resolution
+    relayout passes at 4K; pipelines that already hold planar frames (the
+    Session does) should call this directly."""
+    planar = planar.astype(jnp.float32)
+    _, h, w = planar.shape
     r = params.effective_radius
     sigma_s = params.sigma_spatial
     inv2sc = 0.5 / (params.sigma_color**2)
 
-    planar = jnp.transpose(img, (2, 0, 1))  # (4, H, W)
     rgb = planar[:3]
 
     lmin = jnp.min(rgb, axis=(1, 2))  # (3,)
@@ -95,6 +112,13 @@ def bilateral_fast(
     step = jnp.maximum(lmax - lmin, 1e-6) / (levels - 1)  # (3,)
 
     d = max(1, downsample)
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and d > 1:
+        # Fused Pallas pipeline: grid construction (range weights + blur +
+        # normalize per level, one HBM read/write) then grid slicing (tent
+        # interp fused with MXU-matmul bilinear upsampling).
+        return _grid_pipeline_planar(planar, lmin, step, params, levels, d)
+
     hp = -(-h // d) * d
     wp = -(-w // d) * d
     mode = "edge" if params.border == BorderPolicy.CLAMP else "constant"
@@ -103,32 +127,6 @@ def bilateral_fast(
     # Build the grid at LOW resolution: guide + payload from the pooled image.
     small = _downsample(planar_p, d) if d > 1 else planar_p  # (4, hs, ws)
     taps = _gauss_taps(sigma_s / d, max(1, int(math.ceil(r / d))))
-
-    tile_h, tile_w = 128, 512
-    on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and d > 1:
-        # Fused Pallas pipeline: grid construction (range weights + blur +
-        # normalize per level, one HBM read/write) then grid slicing (tent
-        # interp fused with MXU-matmul bilinear upsampling).
-        grid_k = _build_grid_pallas(
-            small, lmin, step, levels, taps, params.border, inv2sc
-        )
-        grid_k = jnp.pad(grid_k, ((0, 0), (1, 1), (1, 1)), mode="edge")
-        hp2 = -(-h // tile_h) * tile_h
-        wp2 = -(-w // tile_w) * tile_w
-        guide = jnp.pad(rgb, ((0, 0), (0, hp2 - h), (0, wp2 - w)), mode=mode)
-        out = _slice_grid_pallas(
-            guide,
-            grid_k,
-            lmin,
-            1.0 / step,
-            levels,
-            d,
-            tile_h,
-            tile_w,
-        )[:, :h, :w]
-        return jnp.transpose(out, (1, 2, 0))
-
     rgb_s = small[:3]
     level_vals = lmin[:, None] + step[:, None] * jnp.arange(
         levels, dtype=jnp.float32
@@ -163,8 +161,46 @@ def bilateral_fast(
         out_rgb = out_rgb + tent * up
         out_a = out_a + jnp.clip(1.0 - jnp.abs(t_g - k), 0.0, 1.0) * up_a
 
-    out = jnp.concatenate([out_rgb, out_a[None]], axis=0)
-    return jnp.transpose(out, (1, 2, 0))
+    return jnp.concatenate([out_rgb, out_a[None]], axis=0)
+
+
+def _grid_pipeline_planar(
+    planar: jnp.ndarray,  # (4, H, W) float32
+    lmin: jnp.ndarray,  # (3,) per-channel grid minimum (global)
+    step: jnp.ndarray,  # (3,) per-channel level step (global)
+    params: BilateralParams,
+    levels: int,
+    d: int,
+    tile_h: int = 128,
+    tile_w: int = 512,
+) -> jnp.ndarray:
+    """The fused Pallas grid pipeline: pool -> build grid -> slice.
+
+    Factored out of `bilateral_fast_planar` so the sharded path
+    (parallel.spatial.spatial_bilateral_fast) can reuse the exact same build +
+    slice kernels per shard, and so tests can exercise the Pallas path in
+    interpret mode on the CPU backend."""
+    _, h, w = planar.shape
+    r = params.effective_radius
+    inv2sc = 0.5 / (params.sigma_color**2)
+    mode = "edge" if params.border == BorderPolicy.CLAMP else "constant"
+    hp = -(-h // d) * d
+    wp = -(-w // d) * d
+    planar_p = jnp.pad(planar, ((0, 0), (0, hp - h), (0, wp - w)), mode=mode)
+    small = _downsample(planar_p, d)
+    taps = _gauss_taps(params.sigma_spatial / d, max(1, int(math.ceil(r / d))))
+    grid_k = _build_grid_pallas(
+        small, lmin, step, levels, taps, params.border, inv2sc
+    )
+    grid_k = jnp.pad(grid_k, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    hp2 = -(-h // tile_h) * tile_h
+    wp2 = -(-w // tile_w) * tile_w
+    guide = jnp.pad(
+        planar[:3], ((0, 0), (0, hp2 - h), (0, wp2 - w)), mode=mode
+    )
+    return _slice_grid_pallas(
+        guide, grid_k, lmin, 1.0 / step, levels, d, tile_h, tile_w
+    )[:, :h, :w]
 
 
 # ---------------------------------------------------------------------------
@@ -272,6 +308,7 @@ def _slice_grid_pallas(
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_use_interpret(),
     )(guide, grid_p, lim, u_mat, v_mat)
 
 
@@ -364,4 +401,5 @@ def _build_grid_pallas(
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=_use_interpret(),
     )(padded, lim)

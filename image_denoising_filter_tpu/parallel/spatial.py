@@ -21,6 +21,7 @@ the multi-chip form of the reference's weights-buffer `+=` across dispatches
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -40,24 +41,32 @@ from ..ops import xla as ops_xla
 from .mesh import FRAME_AXIS, SPATIAL_AXIS
 
 
-def _exchange_halo(local: jnp.ndarray, halo: int, border: str, axis: str) -> jnp.ndarray:
+def _exchange_halo(
+    local: jnp.ndarray, halo: int, border: str, axis: str, row_axis: int = 0
+) -> jnp.ndarray:
     """Extend a row-shard with `halo` rows from each neighbor over ICI.
 
-    local: (rows, W, 4) this shard's rows. Returns (rows + 2*halo, W, 4).
+    local: this shard's rows, with the image's H axis at `row_axis` (0 for
+    the channel-last (rows, W, 4) layout, 1 for planar (C, rows, W)). Returns
+    the input extended by `halo` rows on each side of `row_axis`.
     """
     n = jax.lax.axis_size(axis)
     idx = jax.lax.axis_index(axis)
-    if local.shape[0] < halo:
+    rows = local.shape[row_axis]
+    if rows < halo:
         raise ValueError(
-            f"spatial shard has {local.shape[0]} rows but the stencil needs a "
+            f"spatial shard has {rows} rows but the stencil needs a "
             f"{halo}-row halo; use fewer 'y' shards or pad rows "
             "(runtime.Session does this automatically)"
         )
 
+    def rows_slice(start, size):
+        return jax.lax.slice_in_dim(local, start, start + size, axis=row_axis)
+
     # Shard i's top halo is the *bottom* rows of shard i-1; its bottom halo is
     # the top rows of shard i+1.
-    bottom_rows = local[-halo:]
-    top_rows = local[:halo]
+    bottom_rows = rows_slice(rows - halo, halo)
+    top_rows = rows_slice(0, halo)
     from_above = jax.lax.ppermute(
         bottom_rows, axis, [(i, i + 1) for i in range(n - 1)]
     )
@@ -66,15 +75,15 @@ def _exchange_halo(local: jnp.ndarray, halo: int, border: str, axis: str) -> jnp
     )
 
     if border == BorderPolicy.CLAMP:
-        edge_top = jnp.repeat(local[:1], halo, axis=0)
-        edge_bottom = jnp.repeat(local[-1:], halo, axis=0)
+        edge_top = jnp.repeat(rows_slice(0, 1), halo, axis=row_axis)
+        edge_bottom = jnp.repeat(rows_slice(rows - 1, 1), halo, axis=row_axis)
     else:
         edge_top = jnp.zeros_like(top_rows)
         edge_bottom = jnp.zeros_like(bottom_rows)
 
     top = jnp.where(idx == 0, edge_top, from_above)
     bottom = jnp.where(idx == n - 1, edge_bottom, from_below)
-    return jnp.concatenate([top, local, bottom], axis=0)
+    return jnp.concatenate([top, local, bottom], axis=row_axis)
 
 
 def _row_sharding(mesh: Mesh) -> NamedSharding:
@@ -180,6 +189,104 @@ def spatial_bilateral(
             (local,), halo, params.border, SPATIAL_AXIS, fn
         )
         return out
+
+    return run(img)
+
+
+def spatial_bilateral_fast(
+    img: jnp.ndarray,
+    params: BilateralParams = BilateralParams(),
+    mesh: Optional[Mesh] = None,
+    levels: int = 8,
+    downsample: int = 2,
+) -> jnp.ndarray:
+    """TURBO bilateral grid with H sharded over the mesh's 'y' axis.
+
+    Bit-identical to the single-device fused grid pipeline
+    (ops.fast._grid_pipeline_planar): pooling is shard-local (shard rows must
+    divide by the downsample factor d), the pooled image is halo-exchanged by
+    blur_radius+1 low-res rows so grid cells within one cell of the shard seam
+    blur over *real* neighbor cells exactly as the unsharded build does, and
+    each shard slices its own rows against a grid slab that carries one real
+    grid row from each neighbor (the slice reads cells floor(g)..floor(g)+1
+    only, so +-1 low-res row covers every in-shard pixel). The grid range
+    (lmin/step) is a global pmin/pmax over shards -- edge-replicated padding
+    rows can never change a min/max, so Session row padding is safe.
+    """
+    from ..ops import fast as ops_fast
+
+    h, w, _ = img.shape
+    d = max(1, downsample)
+    n_y = mesh.shape[SPATIAL_AXIS]
+    rows = h // n_y
+    if h % n_y or rows % d:
+        raise ValueError(
+            f"sharded turbo needs H ({h}) divisible by y-shards*downsample "
+            f"({n_y}*{d}); pad rows first (runtime.Session does)"
+        )
+    r = params.effective_radius
+    taps = ops_fast._gauss_taps(
+        params.sigma_spatial / d, max(1, int(math.ceil(r / d)))
+    )
+    rg = (len(taps) - 1) // 2
+    halo_s = rg + 1  # grid rows [-1, rows_s+1) need small rows +-(rg+1)
+    inv2sc = 0.5 / (params.sigma_color**2)
+    mode = "edge" if params.border == BorderPolicy.CLAMP else "constant"
+    rows_s = rows // d
+    tile_h, tile_w = 128, 512
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        check_vma=False,  # pallas_call outputs don't carry vma metadata
+        in_specs=P(SPATIAL_AXIS, None, None),
+        out_specs=P(SPATIAL_AXIS, None, None),
+    )
+    def run(local):
+        planar = jnp.transpose(local.astype(jnp.float32), (2, 0, 1))
+        rgb = planar[:3]
+        lmin = jax.lax.pmin(jnp.min(rgb, axis=(1, 2)), SPATIAL_AXIS)
+        lmax = jax.lax.pmax(jnp.max(rgb, axis=(1, 2)), SPATIAL_AXIS)
+        step = jnp.maximum(lmax - lmin, 1e-6) / (levels - 1)
+
+        wp = -(-w // d) * d
+        planar_p = jnp.pad(planar, ((0, 0), (0, 0), (0, wp - w)), mode=mode)
+        small = ops_fast._downsample(planar_p, d)  # (4, rows_s, ws)
+        small_ext = _exchange_halo(
+            small, halo_s, params.border, SPATIAL_AXIS, row_axis=1
+        )
+        grid_ext = ops_fast._build_grid_pallas(
+            small_ext, lmin, step, levels, taps, params.border, inv2sc
+        )
+        # Keep grid rows [-1, rows_s+1): real neighbor rows stand in for the
+        # (1, 1) edge padding of the unsharded slice; W gets the same edge pad.
+        grid_sl = grid_ext[:, halo_s - 1 : halo_s - 1 + rows_s + 2, :]
+        # At the image's outer edges the unsharded slice pads with a *replica*
+        # of the first/last grid row (jnp.pad edge), not a freshly built
+        # out-of-range row -- match it on the outermost shards.
+        idx = jax.lax.axis_index(SPATIAL_AXIS)
+        n = jax.lax.axis_size(SPATIAL_AXIS)
+        top_row = jnp.where(
+            idx == 0, grid_sl[:, 1:2, :], grid_sl[:, 0:1, :]
+        )
+        bot_row = jnp.where(
+            idx == n - 1,
+            grid_sl[:, rows_s : rows_s + 1, :],
+            grid_sl[:, rows_s + 1 : rows_s + 2, :],
+        )
+        grid_sl = jnp.concatenate(
+            [top_row, grid_sl[:, 1 : rows_s + 1, :], bot_row], axis=1
+        )
+        grid_sl = jnp.pad(grid_sl, ((0, 0), (0, 0), (1, 1)), mode="edge")
+        hp2 = -(-rows // tile_h) * tile_h
+        wp2 = -(-w // tile_w) * tile_w
+        guide = jnp.pad(
+            rgb, ((0, 0), (0, hp2 - rows), (0, wp2 - w)), mode=mode
+        )
+        out = ops_fast._slice_grid_pallas(
+            guide, grid_sl, lmin, 1.0 / step, levels, d, tile_h, tile_w
+        )[:, :rows, :w]
+        return jnp.transpose(out, (1, 2, 0))
 
     return run(img)
 

@@ -20,6 +20,7 @@ import numpy as np
 
 from ..config import (
     BilateralParams,
+    BorderPolicy,
     CpuBilateralParams,
     LayersParams,
     NlmParams,
@@ -224,8 +225,6 @@ class Session:
         shard has at least `halo` rows (a shard cannot source a halo strip
         larger than itself). The pad mode follows the run's border policy
         (edge pad == CLAMP taps, zero pad == ZERO taps)."""
-        from ..config import BorderPolicy
-
         n_y = self.mesh.devices.shape[1]
         rows = max(-(-h // n_y), halo)
         mode = "edge" if border == BorderPolicy.CLAMP else "constant"
@@ -501,21 +500,39 @@ class Session:
         assert not cfg.nlm and not cfg.use_layers, "turbo covers the bilateral configs"
         from ..ops.fast import bilateral_fast
 
-        if self.mesh is not None:
-            print(
-                "NOTE: turbo mode has no sharded variant; running single-device "
-                "despite --mesh (the exact kernels honor the mesh)."
-            )
         report = TimingReport()
         target_host = self._load(self.target)
         with report.transfer():
             target_dev = jax.device_put(target_host)
-        if self.warmup:
-            _fence(bilateral_fast(target_dev, self.bilateral_params, levels, downsample))
-        with report.execute():
-            out_dev = bilateral_fast(
-                target_dev, self.bilateral_params, levels, downsample
+        bp = self.bilateral_params
+        if self.mesh is not None:
+            # Row-sharded turbo (bit-identical to the single-device grid
+            # pipeline, tests/test_sharding.py). Shard rows must divide by the
+            # grid downsample d and hold the low-res halo.
+            from ..parallel import spatial_bilateral_fast
+
+            d = max(1, downsample)
+            rg = max(1, -(-bp.effective_radius // d))
+            n_y = self.mesh.devices.shape[1]
+            h = target_dev.shape[0]
+            rows = max(-(-h // n_y), d * (rg + 1))
+            rows = -(-rows // d) * d
+            mode = "edge" if bp.border == BorderPolicy.CLAMP else "constant"
+            ph = rows * n_y - h
+            tgt = (
+                jnp.pad(target_dev, ((0, ph), (0, 0), (0, 0)), mode=mode)
+                if ph
+                else target_dev
             )
+            run = lambda: spatial_bilateral_fast(  # noqa: E731
+                tgt, bp, self.mesh, levels, downsample
+            )[:h]
+        else:
+            run = lambda: bilateral_fast(target_dev, bp, levels, downsample)  # noqa: E731
+        if self.warmup:
+            _fence(run())
+        with report.execute():
+            out_dev = run()
             _fence(out_dev)
         with report.transfer():
             out_host = np.asarray(out_dev)

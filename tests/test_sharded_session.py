@@ -68,3 +68,36 @@ def test_sharded_session_odd_rows(tmp_path):
     sharded = Session(target, mesh_shape=(1, 4), **kw).run(RunConfig())
     assert sharded.image.shape == (47, 64, 4)
     np.testing.assert_allclose(sharded.image, single.image, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_session_turbo(tmp_path):
+    """Sharded turbo (mesh set): pads rows to shard*downsample multiples, runs
+    the row-sharded grid pipeline, and crops -- bit-equal to the single-device
+    grid pipeline on the same padded frame."""
+    import jax.numpy as jnp
+
+    from image_denoising_filter_tpu.ops import fast
+
+    rng = np.random.default_rng(2)
+    img = rng.uniform(0, 1, (50, 64, 4)).astype(np.float32)
+    target = str(tmp_path / "turbo_0000.png")
+    imageio.save(target, img)
+    bp = BilateralParams()  # reference sigmas (effective radius 13)
+    sess = Session(target, bilateral_params=bp, output_dir=str(tmp_path),
+                   mesh_shape=(1, 2))
+    res = sess.run_turbo(RunConfig(), levels=8, downsample=2)
+    assert res.image.shape == (50, 64, 4)
+
+    # Single-device grid pipeline on the same edge-padded frame (52 rows).
+    loaded, _ = imageio.load(target)
+    padded = np.pad(loaded, ((0, 2), (0, 0), (0, 0)), mode="edge")
+    planar = jnp.transpose(jnp.asarray(padded), (2, 0, 1))
+    rgb = planar[:3]
+    lmin = jnp.min(rgb, axis=(1, 2))
+    lmax = jnp.max(rgb, axis=(1, 2))
+    step = jnp.maximum(lmax - lmin, 1e-6) / 7
+    want = np.transpose(
+        np.asarray(fast._grid_pipeline_planar(planar, lmin, step, bp, 8, 2)),
+        (1, 2, 0),
+    )[:50]
+    np.testing.assert_array_equal(res.image, want)

@@ -52,6 +52,59 @@ def test_spatial_bilateral_zero_border():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("n_y,d", [(2, 2), (4, 2), (2, 4)])
+def test_spatial_bilateral_fast_matches_single_device(n_y, d):
+    """Sharded TURBO must be bit-identical to the single-device fused grid
+    pipeline: the seam grid cells blur over real neighbor cells and the slice
+    reads one real grid row from each neighbor."""
+    import jax.numpy as jnp
+
+    from image_denoising_filter_tpu.ops import fast
+    from image_denoising_filter_tpu.parallel import spatial_bilateral_fast
+
+    mesh = make_mesh((1, n_y))
+    img = _frame(2, h=128, w=48)
+    params = BilateralParams()  # reference sigmas; effective radius 13
+    levels = 8
+
+    got = np.asarray(spatial_bilateral_fast(img, params, mesh, levels, d))
+
+    planar = jnp.transpose(jnp.asarray(img), (2, 0, 1))
+    rgb = planar[:3]
+    lmin = jnp.min(rgb, axis=(1, 2))
+    lmax = jnp.max(rgb, axis=(1, 2))
+    step = jnp.maximum(lmax - lmin, 1e-6) / (levels - 1)
+    want = np.transpose(
+        np.asarray(
+            fast._grid_pipeline_planar(planar, lmin, step, params, levels, d)
+        ),
+        (1, 2, 0),
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_spatial_bilateral_fast_zero_border():
+    import jax.numpy as jnp
+
+    from image_denoising_filter_tpu.ops import fast
+    from image_denoising_filter_tpu.parallel import spatial_bilateral_fast
+
+    mesh = make_mesh((1, 2))
+    params = BilateralParams(border=BorderPolicy.ZERO)
+    img = _frame(3, h=64, w=48)
+    got = np.asarray(spatial_bilateral_fast(img, params, mesh, 8, 2))
+    planar = jnp.transpose(jnp.asarray(img), (2, 0, 1))
+    rgb = planar[:3]
+    lmin = jnp.min(rgb, axis=(1, 2))
+    lmax = jnp.max(rgb, axis=(1, 2))
+    step = jnp.maximum(lmax - lmin, 1e-6) / 7
+    want = np.transpose(
+        np.asarray(fast._grid_pipeline_planar(planar, lmin, step, params, 8, 2)),
+        (1, 2, 0),
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_spatial_nlm_matches_oracle():
     mesh = make_mesh((1, 4))
     t, n = _frame(0), _frame(1)
