@@ -5,13 +5,16 @@ src/main.cpp:151-186, 1688-1708): HDR images round-trip as float32 RGBA with the
 alpha channel preserved (the README calls out alpha preservation explicitly,
 README.md:57-59).
 
-Decode supports single-part scanline EXRs with HALF/FLOAT/UINT channels and
-compression NONE (0), RLE (1), ZIPS (2), ZIP (3), PIZ (4) and PXR24 (5) --
-the full set tinyexr's loader accepts plus PXR24. The PIZ path (bitmap LUT +
-Huffman + 2D wavelet) and PXR24 path are independent implementations validated
-against the system OpenEXR library in tests (tests/test_io.py golden files via
+Decode supports single-part scanline AND tiled EXRs (ONE_LEVEL / MIPMAP /
+RIPMAP tile layouts; the full-resolution level (0, 0) feeds the image, like
+tinyexr) with HALF/FLOAT/UINT channels and compression NONE (0), RLE (1),
+ZIPS (2), ZIP (3), PIZ (4) and PXR24 (5) -- the full set tinyexr's loader
+accepts plus PXR24. The PIZ path (bitmap LUT + Huffman + 2D wavelet) and
+PXR24 path are independent implementations validated against the system
+OpenEXR library in tests (tests/test_io.py golden files via
 native/exr_oracle.cpp). Encode writes NONE/ZIPS/ZIP, matching the reference's
-SaveEXR output. Tiled, deep, multipart, and B44/DWA files raise ExrError.
+SaveEXR output. Deep, multipart, and B44/DWA files raise ExrError (tinyexr
+rejects those too).
 """
 
 from __future__ import annotations
@@ -411,8 +414,7 @@ def decode(data: bytes) -> np.ndarray:
     magic, version = struct.unpack_from("<iI", data, 0)
     if magic != _MAGIC:
         raise ExrError("not an EXR file")
-    if version & 0x200:
-        raise ExrError("tiled EXR not supported")
+    tiled = bool(version & 0x200)
     if version & (0x800 | 0x1000):
         raise ExrError("deep/multipart EXR not supported")
 
@@ -421,6 +423,7 @@ def decode(data: bytes) -> np.ndarray:
     compression = None
     data_window = None
     line_order = 0
+    tile_desc = None
     while True:
         name, pos = _read_nullterm(data, pos)
         if not name:
@@ -443,6 +446,9 @@ def decode(data: bytes) -> np.ndarray:
             data_window = struct.unpack("<4i", body)
         elif name == "lineOrder":
             line_order = body[0]  # parsed but placement uses block-header y
+        elif name == "tiles":
+            txs, tys, tmode = struct.unpack_from("<IIB", body, 0)
+            tile_desc = (txs, tys, tmode)
 
     if compression not in _COMPRESSION_LINES:
         raise ExrError(
@@ -453,43 +459,101 @@ def decode(data: bytes) -> np.ndarray:
         raise ExrError("missing dataWindow")
     xmin, ymin, xmax, ymax = data_window
     w, h = xmax - xmin + 1, ymax - ymin + 1
-    lines_per_block = _COMPRESSION_LINES[compression]
-    nblocks = -(-h // lines_per_block)
 
     dtypes = {_HALF: np.float16, _FLOAT: np.float32, _UINT: np.uint32}
     ch_bytes = [(n, dtypes[t]) for n, t in channels]
-    row_bytes = sum(w * np.dtype(d).itemsize for _, d in ch_bytes)
-
-    offsets = struct.unpack_from(f"<{nblocks}q", data, pos)
+    px_bytes = sum(np.dtype(d).itemsize for _, d in ch_bytes)
 
     planes = {n: np.zeros((h, w), d) for n, d in ch_bytes}
-    for off in offsets:
-        y0, size = struct.unpack_from("<iI", data, off)
-        block = data[off + 8 : off + 8 + size]
-        y0 -= ymin
-        nlines = min(lines_per_block, h - y0)
-        expected = nlines * row_bytes
+
+    def decompress(block, size, expected, bw, nlines):
         if compression == 0 or size >= expected:
             # Blocks are stored raw when compression doesn't shrink them
             # (OpenEXR convention: compressed blocks are always < raw size).
-            raw = block[:expected]
-        elif compression == 1:
-            raw = _rle_decompress(block, expected)
-        elif compression in (2, 3):
-            raw = _zip_decompress(block, expected)
-        elif compression == 4:
-            raw = _piz_decompress(block, expected, ch_bytes, w, nlines)
-        else:  # 5
-            raw = _pxr24_decompress(block, expected, ch_bytes, w, nlines)
+            return block[:expected]
+        if compression == 1:
+            return _rle_decompress(block, expected)
+        if compression in (2, 3):
+            return _zip_decompress(block, expected)
+        if compression == 4:
+            return _piz_decompress(block, expected, ch_bytes, bw, nlines)
+        return _pxr24_decompress(block, expected, ch_bytes, bw, nlines)
+
+    def place(raw, x0, y0, bw, nlines):
         bpos = 0
         for line in range(nlines):
             # lineOrder only affects the order blocks appear in the file; the
             # block header's y is absolute and lines within a block ascend.
             y = y0 + line
             for cname, dt in ch_bytes:  # channels stored alphabetically per line
-                nb = w * np.dtype(dt).itemsize
-                planes[cname][y] = np.frombuffer(raw[bpos : bpos + nb], dt)
+                nb = bw * np.dtype(dt).itemsize
+                planes[cname][y, x0 : x0 + bw] = np.frombuffer(
+                    raw[bpos : bpos + nb], dt
+                )
                 bpos += nb
+
+    if tiled:
+        if tile_desc is None:
+            raise ExrError("tiled EXR missing tiles attribute")
+        txs, tys, tmode = tile_desc
+        level_mode = tmode & 0xF
+        round_up = (tmode >> 4) & 0xF  # 0 = down, 1 = up
+        if txs == 0 or tys == 0 or level_mode > 2:
+            raise ExrError("corrupt tile description")
+
+        def _lsize(n, l):
+            return max(1, -(-n // (1 << l)) if round_up else n >> l)
+
+        def _nlev(n):
+            lv, s = 1, n
+            while s > 1:
+                s = _lsize(n, lv)
+                lv += 1
+            return lv
+
+        # Offset-table length: tiles across all levels (ONE_LEVEL has just
+        # level (0, 0); MIPMAP shrinks x and y together; RIPMAP all pairs).
+        if level_mode == 0:
+            lpairs = [(0, 0)]
+        elif level_mode == 1:
+            lpairs = [(l, l) for l in range(_nlev(max(w, h)))]
+        else:
+            lpairs = [
+                (lx, ly)
+                for ly in range(_nlev(h))
+                for lx in range(_nlev(w))
+            ]
+        ntiles = sum(
+            (-(-_lsize(w, lx) // txs)) * (-(-_lsize(h, ly) // tys))
+            for lx, ly in lpairs
+        )
+        offsets = struct.unpack_from(f"<{ntiles}q", data, pos)
+        for off in offsets:
+            dx, dy, lx, ly, size = struct.unpack_from("<4iI", data, off)
+            if lx or ly:
+                continue  # only the full-resolution level feeds the image
+            x0, y0 = dx * txs, dy * tys
+            if not (0 <= x0 < w and 0 <= y0 < h):
+                raise ExrError("tile outside data window")
+            bw = min(txs, w - x0)
+            nlines = min(tys, h - y0)
+            expected = nlines * bw * px_bytes
+            block = data[off + 20 : off + 20 + size]
+            place(decompress(block, size, expected, bw, nlines), x0, y0, bw, nlines)
+    else:
+        lines_per_block = _COMPRESSION_LINES[compression]
+        nblocks = -(-h // lines_per_block)
+        row_bytes = w * px_bytes
+        offsets = struct.unpack_from(f"<{nblocks}q", data, pos)
+        for off in offsets:
+            y0, size = struct.unpack_from("<iI", data, off)
+            block = data[off + 8 : off + 8 + size]
+            y0 -= ymin
+            if not (0 <= y0 < h):
+                raise ExrError("scanline block outside data window")
+            nlines = min(lines_per_block, h - y0)
+            expected = nlines * row_bytes
+            place(decompress(block, size, expected, w, nlines), 0, y0, w, nlines)
 
     out = np.zeros((h, w, 4), np.float32)
     for i, cname in enumerate("RGBA"):

@@ -5,11 +5,13 @@
 //
 // Usage:
 //   exr_oracle write <out.exr> <w> <h> <compression 0..5> <half 0|1>  (raw f32 RGBA on stdin)
+//   exr_oracle writetiled <out.exr> <w> <h> <comp> <txs> <tys> <mip 0|1>  (raw f32 RGBA on stdin)
 //   exr_oracle read  <in.exr>                                         (raw f32 RGBA on stdout)
 
 #include <ImfRgbaFile.h>
 #include <ImfOutputFile.h>
 #include <ImfInputFile.h>
+#include <ImfTiledOutputFile.h>
 #include <ImfChannelList.h>
 #include <ImfFrameBuffer.h>
 #include <ImfArray.h>
@@ -58,6 +60,45 @@ int main(int argc, char** argv) {
       OutputFile f(path, hdr);
       f.setFrameBuffer(fb);
       f.writePixels(h);
+    }
+    return 0;
+  }
+  if (!std::strcmp(argv[1], "writetiled")) {
+    // Tiled single-part image: ONE_LEVEL or MIPMAP_LEVELS. Level 0 carries
+    // the stdin image; mip levels are decimated copies (our decoder reads
+    // only level (0, 0) -- the full-resolution image, like tinyexr).
+    if (argc != 9) return 2;
+    const char* path = argv[2];
+    int w = std::atoi(argv[3]), h = std::atoi(argv[4]);
+    int comp = std::atoi(argv[5]);
+    int txs = std::atoi(argv[6]), tys = std::atoi(argv[7]);
+    int mip = std::atoi(argv[8]);
+    std::vector<float> buf(4ull * w * h);
+    if (std::fread(buf.data(), 4, buf.size(), stdin) != buf.size()) return 3;
+    Header hdr(w, h);
+    hdr.compression() = (Compression)comp;
+    hdr.setTileDescription(
+        TileDescription(txs, tys, mip ? MIPMAP_LEVELS : ONE_LEVEL, ROUND_DOWN));
+    const char* names[4] = {"R", "G", "B", "A"};
+    for (int c = 0; c < 4; ++c)
+      hdr.channels().insert(names[c], Channel(Imf::FLOAT));
+    TiledOutputFile f(path, hdr);
+    for (int lvl = 0; lvl < f.numLevels(); ++lvl) {
+      int lw = f.levelWidth(lvl), lh = f.levelHeight(lvl);
+      std::vector<float> lbuf(4ull * lw * lh);
+      int sx = w / lw, sy = h / lh;
+      for (int y = 0; y < lh; ++y)
+        for (int x = 0; x < lw; ++x)
+          std::memcpy(&lbuf[4ull * (y * (size_t)lw + x)],
+                      &buf[4ull * ((size_t)y * sy * w + (size_t)x * sx)],
+                      4 * sizeof(float));
+      FrameBuffer fb;
+      for (int c = 0; c < 4; ++c)
+        fb.insert(names[c],
+                  Slice(Imf::FLOAT, (char*)(lbuf.data() + c),
+                        4 * sizeof(float), 4 * sizeof(float) * (size_t)lw));
+      f.setFrameBuffer(fb);
+      f.writeTiles(0, f.numXTiles(lvl) - 1, 0, f.numYTiles(lvl) - 1, lvl);
     }
     return 0;
   }

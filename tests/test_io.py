@@ -192,6 +192,32 @@ def test_exr_zip_matches_system_openexr(tmp_path, rng):
         np.testing.assert_array_equal(exr.read(p), _oracle_read(p).reshape(40, 22, 4))
 
 
+@pytest.mark.skipif(not os.path.exists(_ORACLE), reason="make -C native oracle")
+@pytest.mark.parametrize("comp", [0, 3, 4], ids=["none", "zip", "piz"])
+@pytest.mark.parametrize("mip", [0, 1], ids=["one_level", "mipmap"])
+def test_exr_tiled_decode_matches_system_openexr(tmp_path, rng, comp, mip):
+    """Tiled single-part EXR decode (tinyexr's loader accepts these): tiles of
+    several shapes, partial edge tiles, ONE_LEVEL and MIPMAP (only level (0,0)
+    feeds the image, like tinyexr)."""
+    import subprocess
+
+    for (h, w), (txs, tys) in [((40, 56), (16, 16)), ((33, 17), (32, 8)),
+                               ((64, 64), (64, 64))]:
+        img = rng.normal(0, 1, (h, w, 4)).astype(np.float32)
+        p = str(tmp_path / f"t_{comp}_{mip}_{h}x{w}.exr")
+        subprocess.run(
+            [_ORACLE, "writetiled", p, str(w), str(h), str(comp),
+             str(txs), str(tys), str(mip)],
+            input=np.ascontiguousarray(img, np.float32).tobytes(),
+            check=True,
+        )
+        want = _oracle_read(p).reshape(h, w, 4)
+        np.testing.assert_array_equal(exr.read(p), want)
+        loaded, hdr = imageio.load(p)
+        assert hdr
+        np.testing.assert_array_equal(loaded, want)
+
+
 def _pil_png(arr_or_img, **save_kw):
     import io
 
