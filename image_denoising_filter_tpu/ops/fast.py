@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import BilateralParams, BorderPolicy
+from .stencils import LOG2E as _LOG2E
 from .stencils import _use_interpret
 
 
@@ -63,10 +64,23 @@ def _sep_blur(x: jnp.ndarray, taps: np.ndarray, border: str) -> jnp.ndarray:
 
 
 def _downsample(x: jnp.ndarray, d: int) -> jnp.ndarray:
-    """Mean-pool the last two axes by d (shapes pre-padded to multiples)."""
-    *lead, h, w = x.shape
-    x = x.reshape(*lead, h // d, d, w // d, d)
-    return x.mean(axis=(-3, -1))
+    """Mean-pool the last two axes by d (shapes pre-padded to multiples).
+
+    Strided-slice sums, rows then lanes: the reshape((..., h/d, d, w/d, d))
+    .mean() formulation costs ~24 ms at 4K/d=2 on v5e (the lane-axis split
+    forces a full relayout — it was 75%% of the whole turbo pipeline);
+    row-strided then lane-strided partial sums measure at HBM speed
+    (~0.3 ms), and d^2 full-res strided slices are 7x worse than even the
+    reshape (tools/pool_bench.py)."""
+    acc = None
+    for i in range(d):
+        s = x[..., i::d, :]
+        acc = s if acc is None else acc + s
+    acc2 = None
+    for j in range(d):
+        s = acc[..., :, j::d]
+        acc2 = s if acc2 is None else acc2 + s
+    return acc2 * (1.0 / (d * d))
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
@@ -241,11 +255,15 @@ def _slice_grid_pallas(
 
     _, h, w = guide.shape
     ghs, gws = tile_h // d, tile_w // d
-    slab_h = -(-(ghs + 2) // 8) * 8
+    # bf16 grids tile as (16, 128): round the slab DMA to bf16 alignment.
+    row_tile = 16 if grid.dtype == jnp.bfloat16 else 8
+    slab_h = -(-(ghs + 2) // row_tile) * row_tile
     slab_w = -(-(gws + 2) // 128) * 128
     nh, nw = h // tile_h, w // tile_w
-    u_mat = jnp.asarray(_upsample_matrix(d, gws + 2, tile_w))
-    v_mat = jnp.asarray(_upsample_matrix(d, ghs + 2, tile_h).T)
+    # Bilinear weights are multiples of 1/d -- exact in bf16; keeping the
+    # matrices in the grid's dtype keeps the dot a single-pass bf16 matmul.
+    u_mat = jnp.asarray(_upsample_matrix(d, gws + 2, tile_w)).astype(grid.dtype)
+    v_mat = jnp.asarray(_upsample_matrix(d, ghs + 2, tile_h).T).astype(grid.dtype)
 
     grid_p = jnp.pad(
         grid,
@@ -304,7 +322,7 @@ def _slice_grid_pallas(
         out_specs=pl.BlockSpec((4, tile_h, tile_w), lambda i, j: (0, i, j)),
         out_shape=jax.ShapeDtypeStruct((4, h, w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((4 * levels, slab_h, slab_w), jnp.float32),
+            pltpu.VMEM((4 * levels, slab_h, slab_w), grid.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
@@ -350,7 +368,22 @@ def _build_grid_pallas(
     lim = jnp.stack([lmin, step], axis=1)  # (3, 2)
     eh, ew = th + 2 * r, tw + 2 * r  # extended region for the separable blur
 
-    def kern(small_hbm, lim_ref, out_ref, tile, sem):
+    # Banded blur matrices: rows-blur = V @ x ((th, eh) band of taps), then
+    # cols-blur = acc @ Hm ((ew, tw) band). On the MXU these replace
+    # 2*len(taps) shifted-slice FMA sweeps per payload per level (the bulk of
+    # the build kernel's VPU time, ~5 ms -> ~1.5 ms at 4K/d=2); the bf16
+    # single-pass rounding (~1e-3 relative, applied to both numerator and
+    # denominator so it largely divides out) is inside the turbo budget.
+    v_np = np.zeros((th, eh), np.float32)
+    for a, t in enumerate(taps):
+        v_np[np.arange(th), np.arange(th) + a] += t
+    h_np = np.zeros((ew, tw), np.float32)
+    for b, t in enumerate(taps):
+        h_np[np.arange(tw) + b, np.arange(tw)] += t
+    v_mat = jnp.asarray(v_np)
+    h_mat = jnp.asarray(h_np)
+
+    def kern(small_hbm, lim_ref, v_ref, h_ref, out_ref, tile, sem):
         i, j = pl.program_id(0), pl.program_id(1)
         cp = pltpu.make_async_copy(
             small_hbm.at[:, pl.ds(i * th, th + 2 * rh), pl.ds(j * tw, tw + 2 * lh)],
@@ -361,16 +394,17 @@ def _build_grid_pallas(
         cp.wait()
         r0, c0 = rh - r, lh - r
         ext = [tile[c, r0 : r0 + eh, c0 : c0 + ew] for c in range(4)]
+        vm = v_ref[:]
+        hm = h_ref[:]
 
         def blur(x):
-            # rows: (eh, ew) -> (th, ew); cols: -> (th, tw); static taps
-            acc = np.float32(taps[0]) * x[0:th]
-            for a in range(1, len(taps)):
-                acc = acc + np.float32(taps[a]) * x[a : a + th]
-            out = np.float32(taps[0]) * acc[:, 0:tw]
-            for b in range(1, len(taps)):
-                out = out + np.float32(taps[b]) * acc[:, b : b + tw]
-            return out
+            # (eh, ew) -> (th, ew) -> (th, tw): two banded MXU matmuls
+            # (single-pass bf16 via default dot precision).
+            return jnp.dot(
+                jnp.dot(vm, x, preferred_element_type=jnp.float32),
+                hm,
+                preferred_element_type=jnp.float32,
+            )
 
         for k in range(levels):
             den = [None] * 3
@@ -378,14 +412,20 @@ def _build_grid_pallas(
             for c in range(3):
                 lv = lim_ref[c, 0] + lim_ref[c, 1] * np.float32(k)
                 dcol = ext[c] - lv
-                wk = jnp.exp(-(dcol * dcol) * jnp.float32(inv2sc))
+                # exp2 with log2(e) folded into the constant: saves the
+                # hidden scale-multiply inside the exp lowering per cell.
+                wk = jnp.exp2(-(dcol * dcol) * jnp.float32(inv2sc * _LOG2E))
                 den[c] = blur(wk)
                 num[c] = blur(wk * ext[c])
                 if c == 1:
                     na = blur(wk * ext[3])
             for c in range(3):
-                out_ref[4 * k + c] = num[c] / jnp.maximum(den[c], 1e-20)
-            out_ref[4 * k + 3] = na / jnp.maximum(den[1], 1e-20)
+                out_ref[4 * k + c] = (
+                    num[c] / jnp.maximum(den[c], 1e-20)
+                ).astype(out_ref.dtype)
+            out_ref[4 * k + 3] = (na / jnp.maximum(den[1], 1e-20)).astype(
+                out_ref.dtype
+            )
 
     return pl.pallas_call(
         kern,
@@ -393,13 +433,19 @@ def _build_grid_pallas(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((3, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((4 * levels, th, tw), lambda i, j: (0, i, j)),
-        out_shape=jax.ShapeDtypeStruct((4 * levels, hs, ws), jnp.float32),
+        # bf16 grid storage: the grid is consumed by the slice kernel's bf16
+        # MXU matmuls anyway, so storing it bf16 halves the grid's HBM write,
+        # the edge-pad copy, and the slab re-read (~1.2 ms at 4K/d=2) at no
+        # additional precision cost on the turbo output.
+        out_shape=jax.ShapeDtypeStruct((4 * levels, hs, ws), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((4, th + 2 * rh, tw + 2 * lh), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_use_interpret(),
-    )(padded, lim)
+    )(padded, lim, v_mat, h_mat)

@@ -57,6 +57,11 @@ DEFAULT_TILE_W = 512  # bilateral 1080p/4K sweep optimum on v5e
 DEFAULT_TILE_H_NLM = 128  # round-2 sweep: 128x1024 is the NLM optimum
 DEFAULT_TILE_W_NLM = 1024
 
+# exp(x) == exp2(x * log2(e)): folding log2(e) into the (compile-time) weight
+# constants turns every per-tap exp into a bare exp2, saving the hidden
+# scale-multiply inside the exp lowering. Identical math to f32 rounding.
+LOG2E = float(np.log2(np.e))
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -241,9 +246,9 @@ def _bilateral_kernel(
             vg_r = carry[5 + n_img :]
             wsrc = vg_r if guided else vimg_r
             fy = (t + dy0).astype(jnp.float32)
-            row_term = jnp.float32(-0.5 * inv_ss2) * fy * fy
+            row_term = jnp.float32(-0.5 * inv_ss2 * LOG2E) * fy * fy
             for dx in range(2 * hw + 1):
-                col_term = np.float32(-0.5 * inv_ss2 * (dx - hw) ** 2)
+                col_term = np.float32(-0.5 * inv_ss2 * (dx - hw) ** 2 * LOG2E)
                 c0 = cbase + dx
                 gr = wsrc[0][rbase : rbase + th, c0 : c0 + tw]
                 gg = wsrc[1][rbase : rbase + th, c0 : c0 + tw]
@@ -254,8 +259,9 @@ def _bilateral_kernel(
                 if not blue_bug:
                     db = cb - gb
                     ssd = ssd + db * db
-                wgt = jnp.exp(
-                    (row_term + col_term) - ssd.astype(jnp.float32) * jnp.float32(inv2sc)
+                wgt = jnp.exp2(
+                    (row_term + col_term)
+                    - ssd.astype(jnp.float32) * jnp.float32(inv2sc * LOG2E)
                 )
                 if guided:
                     t0 = vimg_r[0][rbase : rbase + th, c0 : c0 + tw]
@@ -523,7 +529,7 @@ def _nlm_kernel(
     # offsets get an importance-sampling weight compensation of stride^2
     # (folded into the exp argument as a log bias, zero extra vector ops).
     start = s % stride
-    log_m = float(np.log(float(stride * stride)))
+    log_m = float(np.log2(float(stride * stride)))  # exp2-domain bias
     k0 = (s - start) // stride  # fori step where sdy == s
     erow = rhn - halo + start
     ecol = lhn - halo
@@ -546,7 +552,7 @@ def _nlm_kernel(
             # Separable 2p x 2p box sum of e -> patch SSD per tile pixel
             # (log-tree sliding sums, rows then lanes).
             ssd = _box_lanes(_box_rows(e, 2 * p, th), 2 * p, tw)
-            arg = ssd * jnp.float32(-inv_h2)
+            arg = ssd * jnp.float32(-inv_h2 * LOG2E)
             if stride > 1:
                 if sdx == s:  # d_x == 0: self-match only where d_y == 0 too
                     bias = jnp.where(
@@ -555,7 +561,7 @@ def _nlm_kernel(
                 else:
                     bias = jnp.float32(log_m)
                 arg = arg + bias
-            wgt = jnp.exp(arg)
+            wgt = jnp.exp2(arg)
             tc = tcol + sdx
             c0v = vn[0][trow : trow + th, tc : tc + tw]
             c1v = vn[1][trow : trow + th, tc : tc + tw]

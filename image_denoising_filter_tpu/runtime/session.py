@@ -506,9 +506,9 @@ class Session:
             target_dev = jax.device_put(target_host)
         bp = self.bilateral_params
         if self.mesh is not None:
-            # Row-sharded turbo (bit-identical to the single-device grid
-            # pipeline, tests/test_sharding.py). Shard rows must divide by the
-            # grid downsample d and hold the low-res halo.
+            # Row-sharded turbo (matches the single-device grid pipeline to
+            # ~1 float32 ulp, tests/test_sharding.py). Shard rows must divide
+            # by the grid downsample d and hold the low-res halo.
             from ..parallel import spatial_bilateral_fast
 
             d = max(1, downsample)

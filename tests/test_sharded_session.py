@@ -100,4 +100,6 @@ def test_sharded_session_turbo(tmp_path):
         np.asarray(fast._grid_pipeline_planar(planar, lmin, step, bp, 8, 2)),
         (1, 2, 0),
     )[:50]
-    np.testing.assert_array_equal(res.image, want)
+    # ~1 ulp: MXU tree-reduction grouping in the build kernel's blur matmuls
+    # shifts with the tap band's offset inside shard tiles (test_sharding.py).
+    np.testing.assert_allclose(res.image, want, rtol=3e-6, atol=3e-7)
