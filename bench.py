@@ -32,8 +32,9 @@ def main() -> None:
         BilateralParams,
         CpuBilateralParams,
         NlmParams,
+        TilingConfig,
     )
-    from image_denoising_filter_tpu.ops import bilateral, nlm_accumulate
+    from image_denoising_filter_tpu.ops import bilateral, nlm_accumulate, normalize
     from image_denoising_filter_tpu.ops import reference as ref
 
     h, w = 2160, 3840  # 4K
@@ -72,17 +73,62 @@ def main() -> None:
     mpix_n = h * w / dt_n / 1e6
 
     # First-class quality-gated approximate modes (opt-in via --turbo):
-    # per-channel bilateral grid (~44 dB vs exact at d=2 on noisy content)
-    # and stride-2 compensated NLM search (~41 dB vs exact, equal denoising
-    # PSNR); see docs/PERFORMANCE.md and tests/test_fast.py.
+    # per-channel bilateral grid (fused Pallas pool/build/slice pipeline,
+    # bf16 grid + MXU banded-matmul blurs) and stride-2 compensated NLM
+    # search with bf16 tap planes; see docs/PERFORMANCE.md, tests/test_fast.py.
     from image_denoising_filter_tpu.ops import bilateral_fast
 
-    dt_t = slope_time(lambda x: bilateral_fast(x, bp, 8, 2), img)
+    # Sub-10 ms pipelines: longer chains (k=10) keep the slope above the
+    # tunneled-backend noise floor.
+    dt_t = slope_time(lambda x: bilateral_fast(x, bp, 8, 2), img, k=10)
     mpix_t = h * w / dt_t / 1e6
+    dt_t4 = slope_time(lambda x: bilateral_fast(x, bp, 8, 4), img, k=10)
+    mpix_t4 = h * w / dt_t4 / 1e6
 
     nlp_t = NlmParams(uniform_alpha=True, search_stride=2)
-    dt_nt = slope_time(lambda nb, tgt: nlm_accumulate(tgt, nb, nlp_t)[0], img2, img)
+    bf16 = TilingConfig(compute_dtype="bfloat16")
+    dt_nt = slope_time(
+        lambda nb, tgt: nlm_accumulate(tgt, nb, nlp_t, bf16)[0], img2, img, k=6
+    )
     mpix_nt = h * w / dt_nt / 1e6
+
+    # In-bench quality gates for the turbo rows: dB vs the exact kernels on
+    # noisy structured content (the content class turbo targets). A mode
+    # that regressed below its gate would be reported at 0 contribution.
+    yy, xx = np.mgrid[0:512, 0:1024].astype(np.float32)
+    clean = np.stack(
+        [
+            0.5 + 0.4 * np.sin(xx / 37.0) * np.cos(yy / 23.0),
+            0.5 + 0.4 * np.cos(xx / 53.0 + yy / 31.0),
+            0.5 + 0.3 * np.sin((xx + yy) / 41.0),
+            np.ones_like(xx),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    nz = (clean + rng.normal(0, 0.05, clean.shape)).astype(np.float32)
+    nz[..., 3] = 1.0
+    nz2 = (clean + rng.normal(0, 0.05, clean.shape)).astype(np.float32)
+    nz2[..., 3] = 1.0
+    nz_d, nz2_d = jax.device_put(nz), jax.device_put(nz2)
+    exact_b = np.asarray(bilateral(nz_d, bp))
+    db_t = ref.psnr(
+        np.asarray(bilateral_fast(nz_d, bp, 8, 2))[..., :3], exact_b[..., :3]
+    )
+    db_t4 = ref.psnr(
+        np.asarray(bilateral_fast(nz_d, bp, 8, 4))[..., :3], exact_b[..., :3]
+    )
+    exact_n = np.asarray(normalize(*nlm_accumulate(nz_d, nz2_d, nlp)))
+    db_nt = ref.psnr(
+        np.asarray(normalize(*nlm_accumulate(nz_d, nz2_d, nlp_t, bf16)))[..., :3],
+        exact_n[..., :3],
+    )
+    GATE_DB = 40.0
+    if db_t < GATE_DB:
+        mpix_t = 0.0
+    if db_t4 < GATE_DB:
+        mpix_t4 = 0.0
+    if db_nt < GATE_DB:
+        mpix_nt = 0.0
 
     # PSNR parity: our kernel in CPU-reference-params mode vs the CPU oracle
     # (interior only -- the CPU path zeroes a radius-wide border,
@@ -104,10 +150,14 @@ def main() -> None:
     ratio_b = mpix_b / 5000.0
     ratio_n = mpix_n / 500.0
     vs_baseline = math.sqrt(ratio_b * ratio_n)
-    # Same geomean over the quality-gated approximate modes (the targets
-    # assume approximation -- the measured elementwise ceiling of the chip
-    # caps any EXACT 1681-tap bilateral at ~128 Mpix/s; docs/PERFORMANCE.md).
-    vs_baseline_turbo = math.sqrt((mpix_t / 5000.0) * (mpix_nt / 500.0))
+    # Same geomean over the quality-gated (>= 40 dB vs exact, measured above)
+    # approximate modes, using the fastest gated bilateral-grid setting. The
+    # targets are reachable only by approximation: the measured elementwise
+    # ceiling of the chip caps any EXACT 1681-tap bilateral at ~128 Mpix/s
+    # and exact NLM at ~220 (docs/PERFORMANCE.md); both exact kernels run at
+    # >80% of those ceilings.
+    best_turbo_b = max(mpix_t, mpix_t4)
+    vs_baseline_turbo = math.sqrt((best_turbo_b / 5000.0) * (mpix_nt / 500.0))
 
     print(
         json.dumps(
@@ -119,7 +169,11 @@ def main() -> None:
                 "bilateral_4k_mpix_s": round(mpix_b, 1),
                 "nlm_4k_mpix_s": round(mpix_n, 1),
                 "turbo_d2_4k_mpix_s": round(mpix_t, 1),
+                "turbo_d4_4k_mpix_s": round(mpix_t4, 1),
                 "nlm_turbo_4k_mpix_s": round(mpix_nt, 1),
+                "turbo_d2_db_vs_exact": round(db_t, 1),
+                "turbo_d4_db_vs_exact": round(db_t4, 1),
+                "nlm_turbo_db_vs_exact": round(db_nt, 1),
                 "vs_baseline_turbo_modes": round(vs_baseline_turbo, 4),
                 "psnr_parity_db": round(psnr, 1),
             }

@@ -17,6 +17,7 @@ from .config import (
     LayersParams,
     NlmParams,
     RunConfig,
+    TilingConfig,
 )
 from .runtime.session import Session
 from .utils.timing import Timer, print_cpu_time
@@ -84,6 +85,12 @@ def main(argv: list[str] | None = None) -> int:
         "for the bilateral configs, stride-2 search for the NLM configs "
         "(0 = exact kernels; quality-vs-exact figures in docs/PERFORMANCE.md; "
         "content-dependent -- targets renders/photos, not white noise)",
+    )
+    ap.add_argument(
+        "--batch-frames", action="store_true",
+        help="run non-overlap multiframe NLM as ONE frame-batched kernel "
+        "launch (single stacked upload; weight accumulators stay VMEM-"
+        "resident across frames) instead of one dispatch per frame",
     )
     ap.add_argument("--radius", type=int, default=20, help="bilateral window radius")
     ap.add_argument("--sigma-spatial", type=float, default=2.0)
@@ -166,6 +173,13 @@ def main(argv: list[str] | None = None) -> int:
                 debug_weights=args.debug_weights,
                 mesh_shape=mesh_shape,
                 frame_cache=frame_cache,
+                batch_frames=args.batch_frames,
+                # Turbo NLM = stride-2 search + bf16 tap planes (f32
+                # accumulation): +9% on top of the strided search, quality
+                # unchanged (~43 dB vs exact; tools/nlm_timing.py).
+                nlm_tiling=(
+                    TilingConfig(compute_dtype="bfloat16") if args.turbo else None
+                ),
             )
             for cfg, key in zip(GPU_BATTERY, key_of):
                 if key not in sel:

@@ -248,6 +248,53 @@ def test_uniform_alpha_not_applied_with_zero_border(tmp_path):
     np.testing.assert_allclose(r.image, want, rtol=1e-4, atol=1e-5)
 
 
+def test_batch_frames_equals_streamed(tmp_path):
+    """batch_frames=True (one stacked upload + one frame-batched kernel
+    launch) must produce the exact same multiframe output as the per-frame
+    streamed dispatch loop."""
+    target = _make_anim(tmp_path, n_frames=4, with_layers=False)
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    os.makedirs(out_a, exist_ok=True)
+    os.makedirs(out_b, exist_ok=True)
+    cfg = RunConfig(nlm=True, multiframe=True)
+    streamed = Session(target, nlm_params=NP_, output_dir=out_a).run(cfg)
+    batched = Session(
+        target, nlm_params=NP_, output_dir=out_b, batch_frames=True
+    ).run(cfg)
+    np.testing.assert_allclose(
+        batched.image, streamed.image, rtol=1e-5, atol=1e-6
+    )
+    assert os.path.exists(batched.output_path)
+
+
+def test_batch_frames_mixed_alpha_full_kernel(tmp_path):
+    """A varying-alpha frame in the batch must force the full (non-uniform-
+    alpha) batched kernel, keeping exactness."""
+    root = str(tmp_path / "mixb")
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(7)
+    for i in range(3):
+        f = _frame(i)
+        if i == 2:
+            f = f.copy()
+            f[..., 3] = rng.uniform(0, 1, f.shape[:2]).astype(np.float32)
+        imageio.save(f"{root}/frame_{i:04d}.png", f)
+    target = f"{root}/frame_0001.png"
+    out_a = str(tmp_path / "sa")
+    out_b = str(tmp_path / "sb")
+    os.makedirs(out_a, exist_ok=True)
+    os.makedirs(out_b, exist_ok=True)
+    cfg = RunConfig(nlm=True, multiframe=True)
+    streamed = Session(target, nlm_params=NP_, output_dir=out_a).run(cfg)
+    batched = Session(
+        target, nlm_params=NP_, output_dir=out_b, batch_frames=True
+    ).run(cfg)
+    np.testing.assert_allclose(
+        batched.image, streamed.image, rtol=1e-5, atol=1e-6
+    )
+
+
 def test_multiframe_mixed_alpha_frames_exact(tmp_path):
     """Per-frame uniform-alpha selection: constant-alpha frames take the fast
     kernel, a varying-alpha frame takes the full kernel, and the mixed
