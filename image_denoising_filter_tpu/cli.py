@@ -82,9 +82,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--turbo", type=int, default=0, metavar="D", choices=[0, 1, 2, 4],
         help="approximate speed mode: bilateral-grid with spatial reduction D "
-        "for the bilateral configs, stride-2 search for the NLM configs "
-        "(0 = exact kernels; quality-vs-exact figures in docs/PERFORMANCE.md; "
-        "content-dependent -- targets renders/photos, not white noise)",
+        "for the bilateral and layer-guided configs, stride-2 search + bf16 "
+        "taps for the NLM configs (0 = exact kernels; quality-vs-exact "
+        "figures in docs/PERFORMANCE.md; content-dependent -- targets "
+        "renders/photos, not white noise)",
     )
     ap.add_argument(
         "--batch-frames", action="store_true",
@@ -185,7 +186,7 @@ def main(argv: list[str] | None = None) -> int:
                 if key not in sel:
                     continue
                 print(f"<<<--- {_banner(cfg)} --->>>")
-                if args.turbo and key in ("bilateral", "linear"):
+                if args.turbo and key in ("bilateral", "linear", "layers"):
                     result = session.run_turbo(cfg, downsample=args.turbo)
                 else:
                     result = session.run(cfg)

@@ -9,7 +9,11 @@ Three interchangeable implementations of each kernel:
   * `reference.*` -- NumPy oracles (the test ground truth).
 """
 
-from .fast import bilateral_fast  # noqa: F401
+from .fast import (  # noqa: F401
+    bilateral_fast,
+    cross_bilateral_layers_fast,
+    normalize_layers_fast,
+)
 from .stencils import (  # noqa: F401
     bilateral,
     cross_bilateral_layers,

@@ -449,3 +449,285 @@ def _build_grid_pallas(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_use_interpret(),
     )(padded, lim, v_mat, h_mat)
+
+
+# ---------------------------------------------------------------------------
+# TURBO for the layer-guided config (shaders/bialteral_layers.comp): the same
+# per-channel bilateral grid, but range weights come from the LAYER (G-buffer
+# guide) and the payload is the target image -- and the grid stays
+# UNNORMALIZED (separate num/den planes) so per-layer partials accumulate
+# across layers before one final divide, mirroring the exact two-pass
+# accumulate-then-normalize structure (src/main.cpp:1608-1624, 1649-1652).
+# Approximation vs the exact kernel: per-channel range weights (channel c of
+# the output is guided by channel c of the layer; alpha rides green) instead
+# of the joint-RGB weight, plus the grid quantization -- measured in
+# tests/test_fast.py.
+# ---------------------------------------------------------------------------
+
+
+def _build_guided_grid_pallas(
+    small_t: jnp.ndarray,  # (4, hs, ws) pooled target (payload)
+    small_l: jnp.ndarray,  # (4, hs, ws) pooled layer (guide)
+    lmin: jnp.ndarray,  # (3,) guide-channel grid minimum
+    step: jnp.ndarray,  # (3,)
+    levels: int,
+    taps: np.ndarray,
+    border: str,
+    inv2sc: float,
+    tile_h: int = 128,
+    tile_w: int = 512,
+):
+    """Per level k: 7 UNNORMALIZED planes [num_r num_g num_b num_a den_r
+    den_g den_b], num_c = blur(w_k(guide_c) * payload_c), den_c =
+    blur(w_k(guide_c)); alpha's num uses green's weights."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _, hs, ws = small_t.shape
+    r = (len(taps) - 1) // 2
+    rh = -(-r // 4) * 4
+    lh = 128
+    th = min(tile_h, -(-hs // 8) * 8)
+    tw = min(tile_w, -(-ws // 128) * 128)
+    nh, nw = -(-hs // th), -(-ws // tw)
+    mode = "edge" if border == BorderPolicy.CLAMP else "constant"
+
+    def pad(x):
+        return jnp.pad(
+            x, ((0, 0), (rh, rh + nh * th - hs), (lh, lh + nw * tw - ws)), mode=mode
+        )
+
+    padded_t, padded_l = pad(small_t), pad(small_l)
+    lim = jnp.stack([lmin, step], axis=1)  # (3, 2)
+    eh, ew = th + 2 * r, tw + 2 * r
+
+    v_np = np.zeros((th, eh), np.float32)
+    for a, t in enumerate(taps):
+        v_np[np.arange(th), np.arange(th) + a] += t
+    h_np = np.zeros((ew, tw), np.float32)
+    for b, t in enumerate(taps):
+        h_np[np.arange(tw) + b, np.arange(tw)] += t
+    v_mat = jnp.asarray(v_np)
+    h_mat = jnp.asarray(h_np)
+
+    def kern(t_hbm, l_hbm, lim_ref, v_ref, h_ref, out_ref, t_tile, l_tile, sem):
+        i, j = pl.program_id(0), pl.program_id(1)
+        rows = pl.ds(i * th, th + 2 * rh)
+        cols = pl.ds(j * tw, tw + 2 * lh)
+        cpt = pltpu.make_async_copy(t_hbm.at[:, rows, cols], t_tile, sem.at[0])
+        cpt.start()
+        cpl = pltpu.make_async_copy(l_hbm.at[:, rows, cols], l_tile, sem.at[1])
+        cpl.start()
+        cpt.wait()
+        cpl.wait()
+        r0, c0 = rh - r, lh - r
+        ext_t = [t_tile[c, r0 : r0 + eh, c0 : c0 + ew] for c in range(4)]
+        ext_l = [l_tile[c, r0 : r0 + eh, c0 : c0 + ew] for c in range(3)]
+        vm = v_ref[:]
+        hm = h_ref[:]
+
+        def blur(x):
+            return jnp.dot(
+                jnp.dot(vm, x, preferred_element_type=jnp.float32),
+                hm,
+                preferred_element_type=jnp.float32,
+            )
+
+        for k in range(levels):
+            for c in range(3):
+                lv = lim_ref[c, 0] + lim_ref[c, 1] * np.float32(k)
+                dcol = ext_l[c] - lv
+                wk = jnp.exp2(-(dcol * dcol) * jnp.float32(inv2sc * _LOG2E))
+                out_ref[7 * k + c] = blur(wk * ext_t[c]).astype(out_ref.dtype)
+                out_ref[7 * k + 4 + c] = blur(wk).astype(out_ref.dtype)
+                if c == 1:
+                    out_ref[7 * k + 3] = blur(wk * ext_t[3]).astype(out_ref.dtype)
+
+    tile_shape = (4, th + 2 * rh, tw + 2 * lh)
+    return pl.pallas_call(
+        kern,
+        grid=(nh, nw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((3, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((7 * levels, th, tw), lambda i, j: (0, i, j)),
+        out_shape=jax.ShapeDtypeStruct((7 * levels, hs, ws), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM(tile_shape, jnp.float32),
+            pltpu.VMEM(tile_shape, jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=_use_interpret(),
+    )(padded_t, padded_l, lim, v_mat, h_mat)
+
+
+def _slice_guided_grid_pallas(
+    guide: jnp.ndarray,  # (3, H, W) full-res LAYER rgb (padded to tiles)
+    grid: jnp.ndarray,  # (7K, hs+2, ws+2) edge-padded num/den grid
+    lmin: jnp.ndarray,
+    inv_step: jnp.ndarray,
+    levels: int,
+    d: int,
+    tile_h: int = 128,
+    tile_w: int = 512,
+):
+    """Tent-interpolate the unnormalized guided grid at full resolution:
+    returns (7, H, W) = [wc_r wc_g wc_b wc_a nw_r nw_g nw_b] partials."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _, h, w = guide.shape
+    ghs, gws = tile_h // d, tile_w // d
+    row_tile = 16 if grid.dtype == jnp.bfloat16 else 8
+    slab_h = -(-(ghs + 2) // row_tile) * row_tile
+    slab_w = -(-(gws + 2) // 128) * 128
+    nh, nw = h // tile_h, w // tile_w
+    u_mat = jnp.asarray(_upsample_matrix(d, gws + 2, tile_w)).astype(grid.dtype)
+    v_mat = jnp.asarray(_upsample_matrix(d, ghs + 2, tile_h).T).astype(grid.dtype)
+
+    grid_p = jnp.pad(
+        grid,
+        (
+            (0, 0),
+            (0, max(0, (nh - 1) * ghs + slab_h - grid.shape[1])),
+            (0, max(0, (nw - 1) * gws + slab_w - grid.shape[2])),
+        ),
+        mode="edge",
+    )
+    lim = jnp.stack([lmin, inv_step], axis=1)  # (3, 2)
+
+    def kern(guide_ref, grid_hbm, lim_ref, u_ref, v_ref, out_ref, slab, sem):
+        i, j = pl.program_id(0), pl.program_id(1)
+        cp = pltpu.make_async_copy(
+            grid_hbm.at[:, pl.ds(i * ghs, slab_h), pl.ds(j * gws, slab_w)],
+            slab,
+            sem,
+        )
+        cp.start()
+        ts = []
+        for c in range(3):
+            ts.append((guide_ref[c] - lim_ref[c, 0]) * lim_ref[c, 1])
+        ts.append(ts[1])  # alpha rides green
+        cp.wait()
+        um = u_ref[:]
+        vm = v_ref[:]
+        accs = [jnp.zeros((tile_h, tile_w), jnp.float32) for _ in range(7)]
+        for k in range(levels):
+            tents = [
+                jnp.clip(1.0 - jnp.abs(ts[c] - k), 0.0, 1.0) for c in range(4)
+            ]
+            for p_idx in range(7):
+                cell = slab[7 * k + p_idx, 0 : ghs + 2, 0 : gws + 2]
+                up = jnp.dot(
+                    vm,
+                    jnp.dot(cell, um, preferred_element_type=jnp.float32),
+                    preferred_element_type=jnp.float32,
+                )
+                tc = p_idx if p_idx < 4 else p_idx - 4
+                accs[p_idx] = accs[p_idx] + tents[tc] * up
+        for p_idx in range(7):
+            out_ref[p_idx] = accs[p_idx]
+
+    return pl.pallas_call(
+        kern,
+        grid=(nh, nw),
+        in_specs=[
+            pl.BlockSpec((3, tile_h, tile_w), lambda i, j: (0, i, j)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((3, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((7, tile_h, tile_w), lambda i, j: (0, i, j)),
+        out_shape=jax.ShapeDtypeStruct((7, h, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((7 * levels, slab_h, slab_w), grid.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_use_interpret(),
+    )(guide, grid_p, lim, u_mat, v_mat)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def cross_bilateral_layers_fast(
+    target: jnp.ndarray,
+    layer: jnp.ndarray,
+    params=None,
+    levels: int = 8,
+    downsample: int = 2,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """TURBO cross-bilateral partials for ONE layer: (H, W, 4) target +
+    (H, W, 4) layer -> (weightColor (H, W, 4), normWeight (H, W, 3)).
+
+    Accumulate the partials over all layers, then finish with
+    `normalize_layers_fast`. normWeight is PER-CHANNEL (the per-channel-guide
+    approximation; the exact kernel's normWeight is one scalar from the joint
+    RGB weight). Mirrors shaders/bialteral_layers.comp's role in the
+    accumulate-then-normalize pipeline."""
+    from ..config import LayersParams
+
+    if params is None:
+        params = LayersParams()
+    t_planar = jnp.transpose(target.astype(jnp.float32), (2, 0, 1))
+    l_planar = jnp.transpose(layer.astype(jnp.float32), (2, 0, 1))
+    _, h, w = t_planar.shape
+    d = max(1, downsample)
+    r = params.effective_radius
+    inv2sc = 0.5 / (params.sigma_color**2)
+    mode = "edge" if params.border == BorderPolicy.CLAMP else "constant"
+
+    l_rgb = l_planar[:3]
+    lmin = jnp.min(l_rgb, axis=(1, 2))
+    lmax = jnp.max(l_rgb, axis=(1, 2))
+    step = jnp.maximum(lmax - lmin, 1e-6) / (levels - 1)
+
+    hp = -(-h // d) * d
+    wp = -(-w // d) * d
+    t_p = jnp.pad(t_planar, ((0, 0), (0, hp - h), (0, wp - w)), mode=mode)
+    l_p = jnp.pad(l_planar, ((0, 0), (0, hp - h), (0, wp - w)), mode=mode)
+    small_t = _downsample(t_p, d)
+    small_l = _downsample(l_p, d)
+    taps = _gauss_taps(params.sigma_spatial / d, max(1, int(math.ceil(r / d))))
+    grid = _build_guided_grid_pallas(
+        small_t, small_l, lmin, step, levels, taps, params.border, inv2sc
+    )
+    grid = jnp.pad(grid, ((0, 0), (1, 1), (1, 1)), mode="edge")
+
+    tile_h, tile_w = 128, 512
+    hp2 = -(-h // tile_h) * tile_h
+    wp2 = -(-w // tile_w) * tile_w
+    guide = jnp.pad(l_rgb, ((0, 0), (0, hp2 - h), (0, wp2 - w)), mode=mode)
+    planes = _slice_guided_grid_pallas(
+        guide, grid, lmin, 1.0 / step, levels, d, tile_h, tile_w
+    )[:, :h, :w]
+    wc = jnp.transpose(planes[:4], (1, 2, 0))
+    nw = jnp.transpose(planes[4:], (1, 2, 0))
+    return wc, nw
+
+
+@jax.jit
+def normalize_layers_fast(
+    wc: jnp.ndarray, nw: jnp.ndarray
+) -> jnp.ndarray:
+    """Final divide for the turbo layers pipeline: out_c = wc_c / nw_c
+    (alpha divides by green's norm), magenta sentinel where the green norm
+    is zero (the normalize.comp:36-43 analog for the per-channel grid)."""
+    zero = nw[..., 1] == 0.0
+    safe = jnp.where(nw == 0.0, 1.0, nw)
+    out = jnp.stack(
+        [
+            wc[..., 0] / safe[..., 0],
+            wc[..., 1] / safe[..., 1],
+            wc[..., 2] / safe[..., 2],
+            wc[..., 3] / safe[..., 1],
+        ],
+        axis=-1,
+    )
+    sentinel = jnp.asarray([1.0, 0.0, 1.0, 1.0], jnp.float32)
+    return jnp.where(zero[..., None], sentinel, out)

@@ -533,11 +533,14 @@ class Session:
         return out
 
     def run_turbo(self, cfg: RunConfig, levels: int = 8, downsample: int = 2) -> RunResult:
-        """Approximate bilateral-grid mode for the bilateral configs (opt-in;
-        ~44 dB vs the exact kernel at downsample=2, ~39 dB at 4 -- see
-        ops/fast.py). Writes the same flag-encoded output name."""
-        assert not cfg.nlm and not cfg.use_layers, "turbo covers the bilateral configs"
+        """Approximate bilateral-grid mode for the bilateral and layers
+        configs (opt-in; ~49 dB vs the exact kernel at downsample=2, ~45 dB
+        at 4 -- see ops/fast.py). Writes the same flag-encoded output name."""
+        assert not cfg.nlm, "turbo NLM runs through run() with search_stride"
         from ..ops.fast import bilateral_fast
+
+        if cfg.use_layers:
+            return self._run_turbo_layers(cfg, levels, downsample)
 
         report = TimingReport()
         target_host = self._load(self.target)
@@ -568,6 +571,57 @@ class Session:
             )[:h]
         else:
             run = lambda: bilateral_fast(target_dev, bp, levels, downsample)  # noqa: E731
+        if self.warmup:
+            _fence(run())
+        with report.execute():
+            out_dev = run()
+            _fence(out_dev)
+        with report.transfer():
+            out_host = np.asarray(out_dev)
+        name = cfg.output_name(self.is_hdr)
+        path = os.path.join(self.output_dir, name)
+        imageio.save(path, out_host, hdr=self.is_hdr, clamp=self.clamp_output)
+        return RunResult(config=cfg, output_path=path, image=out_host, report=report)
+
+    def _run_turbo_layers(self, cfg: RunConfig, levels: int, downsample: int) -> RunResult:
+        """TURBO layer-guided config: per layer, unnormalized guided-grid
+        (num, den) partials accumulate like the exact two-pass pipeline
+        (src/main.cpp:1608-1624), then one per-channel divide with the
+        magenta sentinel. Approximation figures in tests/test_fast.py."""
+        from ..ops.fast import cross_bilateral_layers_fast, normalize_layers_fast
+
+        if self.mesh is not None:
+            print(
+                "note: turbo layers runs single-device (no sharded guided-"
+                "grid path yet); drop --turbo for the sharded exact kernel"
+            )
+        report = TimingReport()
+        ds = dataset_mod.discover(self.target, multiframe=False, use_layers=True)
+        target_host = self._load(ds.target)
+        with report.transfer():
+            target_dev = jax.device_put(target_host)
+        lp = self.layers_params
+        layers_host = [self._load(p) for p in ds.layers]
+        if layers_host:
+            with report.transfer():
+                layers_dev = [jax.device_put(x) for x in layers_host]
+                for x in layers_dev:
+                    jax.block_until_ready(x)
+        else:
+            layers_dev = []
+
+        def run():
+            h, w, _ = target_dev.shape
+            wc = jnp.zeros((h, w, 4), jnp.float32)
+            nw = jnp.zeros((h, w, 3), jnp.float32)
+            for layer_dev in layers_dev:
+                pwc, pnw = cross_bilateral_layers_fast(
+                    target_dev, layer_dev, lp, levels, downsample
+                )
+                wc = wc + pwc
+                nw = nw + pnw
+            return normalize_layers_fast(wc, nw)
+
         if self.warmup:
             _fence(run())
         with report.execute():

@@ -107,3 +107,98 @@ def test_turbo_session_and_cli(tmp_path):
     import os
 
     assert os.path.exists(tmp_path / "output-nonlinear-bialteral.png")
+
+
+# ---- TURBO layers (guided grid) --------------------------------------------
+
+
+def _exact_layers(noisy, layers, lp):
+    from image_denoising_filter_tpu.ops import reference as r
+
+    wc = np.zeros(noisy.shape, np.float32)
+    nw = np.zeros(noisy.shape[:2], np.float32)
+    for layer in layers:
+        pwc, pnw = r.cross_bilateral_layers_reference(noisy, layer, lp)
+        wc += pwc
+        nw += pnw
+    return r.normalize_reference(wc, nw)
+
+
+def test_turbo_layers_close_to_exact(rng):
+    from image_denoising_filter_tpu.config import LayersParams
+    from image_denoising_filter_tpu.ops import (
+        cross_bilateral_layers_fast,
+        normalize_layers_fast,
+    )
+
+    clean, noisy = _scene(rng)
+    # Two guide layers: the clean scene and a gradient plane (G-buffer-ish).
+    h, w = clean.shape[:2]
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    grad = np.stack(
+        [xx / w, yy / h, (xx + yy) / (h + w), np.ones((h, w), np.float32)], -1
+    ).astype(np.float32)
+    layers = [clean, grad]
+    # radius 6 keeps the brute-force oracle tractable; sigma_s is the
+    # reference value so the grid's blur approximation is exercised as-is.
+    lp = LayersParams(radius=6)
+
+    want = _exact_layers(noisy, layers, lp)
+    wc = np.zeros((h, w, 4), np.float32)
+    nw = np.zeros((h, w, 3), np.float32)
+    for layer in layers:
+        pwc, pnw = cross_bilateral_layers_fast(noisy, layer, lp, 8, 2)
+        wc += np.asarray(pwc)
+        nw += np.asarray(pnw)
+    got = np.asarray(normalize_layers_fast(wc, nw))
+    db = ref.psnr(got[..., :3], want[..., :3])
+    assert db >= 35.0, f"turbo layers vs exact: {db:.1f} dB"
+
+
+def test_turbo_layers_no_layers_sentinel(rng):
+    from image_denoising_filter_tpu.ops import normalize_layers_fast
+
+    out = np.asarray(
+        normalize_layers_fast(
+            np.zeros((8, 16, 4), np.float32), np.zeros((8, 16, 3), np.float32)
+        )
+    )
+    np.testing.assert_allclose(out, np.broadcast_to([1, 0, 1, 1], out.shape))
+
+
+def test_turbo_layers_session_and_cli(tmp_path):
+    import os
+    import subprocess
+    import sys
+
+    from image_denoising_filter_tpu.utils import imageio
+
+    rng = np.random.default_rng(3)
+    clean, noisy = _scene(rng, h=48, w=64)
+    root = tmp_path / "anim"
+    os.makedirs(root / "RenderElements", exist_ok=True)
+    imageio.save(str(root / "frame_0000.png"), noisy)
+    imageio.save(str(root / "RenderElements" / "albedo_0000.png"), clean)
+    env = dict(os.environ, IDF_NO_PROGRESS="1")
+    r_ = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "image_denoising_filter_tpu.cli",
+            str(root / "frame_0000.png"),
+            "--configs",
+            "layers",
+            "--turbo",
+            "2",
+            "--output-dir",
+            str(tmp_path),
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+    )
+    assert r_.returncode == 0, r_.stderr[-2000:]
+    out_path = tmp_path / "output-nonlinear-bialteral-layers.png"
+    assert out_path.exists()
+    out, _ = imageio.load(str(out_path))
+    assert np.isfinite(out).all()
