@@ -436,3 +436,98 @@ def temporal_nlm_sharded(
     # asserted equal in tests) lets GSPMD partition along the existing row
     # sharding; a pallas_call would need its own shard_map here.
     return ops_xla.normalize_xla(wc, nw, norm_params)
+
+
+def spatial_cross_bilateral_layers_fast(
+    target: jnp.ndarray,
+    layer: jnp.ndarray,
+    params=None,
+    mesh: Optional[Mesh] = None,
+    levels: int = 8,
+    downsample: int = 2,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """TURBO layer-guided partials with H sharded over the mesh's 'y' axis.
+
+    Same seam construction as spatial_bilateral_fast (pool shard-locally,
+    halo-exchange the pooled rows so seam grid cells blur over real neighbor
+    cells, slice against a grid slab carrying one real row per neighbor) but
+    for the guided num/den grid: weights from the LAYER, payload the target.
+    Returns row-sharded (weightColor (H, W, 4), normWeight (H, W, 3))
+    partials -- accumulate across layers and finish with
+    ops.fast.normalize_layers_fast. Matches the single-device guided pipeline
+    to ~1 bf16 ulp (the unnormalized grid stores bf16; MXU reduction grouping
+    can flip a value across a bf16 rounding boundary -- test_sharding.py)."""
+    from ..config import LayersParams
+    from ..ops import fast as ops_fast
+
+    if params is None:
+        params = LayersParams()
+    h, w, _ = target.shape
+    d = max(1, downsample)
+    n_y = mesh.shape[SPATIAL_AXIS]
+    rows = h // n_y
+    if h % n_y or rows % d:
+        raise ValueError(
+            f"sharded turbo layers needs H ({h}) divisible by y-shards*"
+            f"downsample ({n_y}*{d}); pad rows first (runtime.Session does)"
+        )
+    r = params.effective_radius
+    taps = ops_fast._gauss_taps(
+        params.sigma_spatial / d, max(1, int(math.ceil(r / d)))
+    )
+    rg = (len(taps) - 1) // 2
+    halo_s = rg + 1
+    inv2sc = 0.5 / (params.sigma_color**2)
+    mode = "edge" if params.border == BorderPolicy.CLAMP else "constant"
+    rows_s = rows // d
+    tile_h, tile_w = 128, 512
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(SPATIAL_AXIS, None, None), P(SPATIAL_AXIS, None, None)),
+        out_specs=(P(SPATIAL_AXIS, None, None), P(SPATIAL_AXIS, None, None)),
+    )
+    def run(t_local, l_local):
+        t_planar = jnp.transpose(t_local.astype(jnp.float32), (2, 0, 1))
+        l_planar = jnp.transpose(l_local.astype(jnp.float32), (2, 0, 1))
+        l_rgb = l_planar[:3]
+        lmin = jax.lax.pmin(jnp.min(l_rgb, axis=(1, 2)), SPATIAL_AXIS)
+        lmax = jax.lax.pmax(jnp.max(l_rgb, axis=(1, 2)), SPATIAL_AXIS)
+        step = jnp.maximum(lmax - lmin, 1e-6) / (levels - 1)
+
+        wp = -(-w // d) * d
+        t_p = jnp.pad(t_planar, ((0, 0), (0, 0), (0, wp - w)), mode=mode)
+        l_p = jnp.pad(l_planar, ((0, 0), (0, 0), (0, wp - w)), mode=mode)
+        small_t = ops_fast._downsample(t_p, d)
+        small_l = ops_fast._downsample(l_p, d)
+        small_t_ext = _exchange_halo(small_t, halo_s, params.border, SPATIAL_AXIS, row_axis=1)
+        small_l_ext = _exchange_halo(small_l, halo_s, params.border, SPATIAL_AXIS, row_axis=1)
+        grid_ext = ops_fast._build_guided_grid_pallas(
+            small_t_ext, small_l_ext, lmin, step, levels, taps, params.border, inv2sc
+        )
+        grid_sl = grid_ext[:, halo_s - 1 : halo_s - 1 + rows_s + 2, :]
+        idx = jax.lax.axis_index(SPATIAL_AXIS)
+        n = jax.lax.axis_size(SPATIAL_AXIS)
+        top_row = jnp.where(idx == 0, grid_sl[:, 1:2, :], grid_sl[:, 0:1, :])
+        bot_row = jnp.where(
+            idx == n - 1,
+            grid_sl[:, rows_s : rows_s + 1, :],
+            grid_sl[:, rows_s + 1 : rows_s + 2, :],
+        )
+        grid_sl = jnp.concatenate(
+            [top_row, grid_sl[:, 1 : rows_s + 1, :], bot_row], axis=1
+        )
+        grid_sl = jnp.pad(grid_sl, ((0, 0), (0, 0), (1, 1)), mode="edge")
+        hp2 = -(-rows // tile_h) * tile_h
+        wp2 = -(-w // tile_w) * tile_w
+        guide = jnp.pad(l_rgb, ((0, 0), (0, hp2 - rows), (0, wp2 - w)), mode=mode)
+        planes = ops_fast._slice_guided_grid_pallas(
+            guide, grid_sl, lmin, 1.0 / step, levels, d, tile_h, tile_w
+        )[:, :rows, :w]
+        wc = jnp.transpose(planes[:4], (1, 2, 0))
+        nw = jnp.transpose(planes[4:], (1, 2, 0))
+        return wc, nw
+
+    return run(target, layer)

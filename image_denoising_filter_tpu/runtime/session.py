@@ -590,11 +590,6 @@ class Session:
         magenta sentinel. Approximation figures in tests/test_fast.py."""
         from ..ops.fast import cross_bilateral_layers_fast, normalize_layers_fast
 
-        if self.mesh is not None:
-            print(
-                "note: turbo layers runs single-device (no sharded guided-"
-                "grid path yet); drop --turbo for the sharded exact kernel"
-            )
         report = TimingReport()
         ds = dataset_mod.discover(self.target, multiframe=False, use_layers=True)
         target_host = self._load(ds.target)
@@ -610,17 +605,54 @@ class Session:
         else:
             layers_dev = []
 
-        def run():
-            h, w, _ = target_dev.shape
-            wc = jnp.zeros((h, w, 4), jnp.float32)
-            nw = jnp.zeros((h, w, 3), jnp.float32)
-            for layer_dev in layers_dev:
-                pwc, pnw = cross_bilateral_layers_fast(
-                    target_dev, layer_dev, lp, levels, downsample
+        h0 = target_dev.shape[0]
+        if self.mesh is not None:
+            # Row-sharded guided grid (matches single-device to ~1 ulp,
+            # tests/test_sharding.py); same row-padding rule as the
+            # bilateral turbo path.
+            from ..parallel import spatial_cross_bilateral_layers_fast
+
+            d = max(1, downsample)
+            rg = max(1, -(-lp.effective_radius // d))
+            n_y = self.mesh.devices.shape[1]
+            rows = max(-(-h0 // n_y), d * (rg + 1))
+            rows = -(-rows // d) * d
+            mode = "edge" if lp.border == BorderPolicy.CLAMP else "constant"
+            ph = rows * n_y - h0
+
+            def pad_rows(x):
+                return (
+                    jnp.pad(x, ((0, ph), (0, 0), (0, 0)), mode=mode) if ph else x
                 )
-                wc = wc + pwc
-                nw = nw + pnw
-            return normalize_layers_fast(wc, nw)
+
+            tgt_p = pad_rows(target_dev)
+            layers_p = [pad_rows(x) for x in layers_dev]
+
+            def run():
+                h, w, _ = tgt_p.shape
+                wc = jnp.zeros((h, w, 4), jnp.float32)
+                nw = jnp.zeros((h, w, 3), jnp.float32)
+                for layer_dev in layers_p:
+                    pwc, pnw = spatial_cross_bilateral_layers_fast(
+                        tgt_p, layer_dev, lp, self.mesh, levels, downsample
+                    )
+                    wc = wc + pwc
+                    nw = nw + pnw
+                return normalize_layers_fast(wc, nw)[:h0]
+
+        else:
+
+            def run():
+                h, w, _ = target_dev.shape
+                wc = jnp.zeros((h, w, 4), jnp.float32)
+                nw = jnp.zeros((h, w, 3), jnp.float32)
+                for layer_dev in layers_dev:
+                    pwc, pnw = cross_bilateral_layers_fast(
+                        target_dev, layer_dev, lp, levels, downsample
+                    )
+                    wc = wc + pwc
+                    nw = nw + pnw
+                return normalize_layers_fast(wc, nw)
 
         if self.warmup:
             _fence(run())
