@@ -52,10 +52,10 @@ from ..config import (
     TilingConfig,
 )
 
-DEFAULT_TILE_H = 128
-DEFAULT_TILE_W = 512  # bilateral 1080p/4K sweep optimum on v5e
-DEFAULT_TILE_H_NLM = 128  # round-2 sweep: 128x1024 is the NLM optimum
-DEFAULT_TILE_W_NLM = 1024
+DEFAULT_TILE_H = 64  # round-2 sweep at 4K: 64x1024 (113 Mpix/s vs 104 at
+DEFAULT_TILE_W = 1024  # the round-1 128x512 optimum)
+DEFAULT_TILE_H_NLM = 128  # round-2 sweep: 128x2048 (197 vs 177 at 128x1024);
+DEFAULT_TILE_W_NLM = 2048  # 256x2048 and 128x3840 exceed the compiler limits
 
 # exp(x) == exp2(x * log2(e)): folding log2(e) into the (compile-time) weight
 # constants turns every per-tap exp into a bare exp2, saving the hidden

@@ -137,6 +137,43 @@ def main() -> int:
         status = "OK" if tdb >= 35.0 else "LOW"
         print(f"turbo (fused) vs exact oracle: {tdb:.1f} dB [{status}]")
 
+        # turbo NLM (stride-2 + bf16 taps) vs the exact NLM on the same scene
+        from image_denoising_filter_tpu.config import NlmParams as _NP
+        from image_denoising_filter_tpu.config import TilingConfig as _TC
+
+        noisy2 = np.clip(
+            scene + rng.normal(0, 0.06, scene.shape) * [1, 1, 1, 0], 0, 1
+        ).astype(np.float32)
+        nd, nd2 = jax.device_put(noisy), jax.device_put(noisy2)
+        n_exact = np.asarray(normalize(*nlm_accumulate(nd, nd2, nlp)))
+        n_turbo = np.asarray(
+            normalize(
+                *nlm_accumulate(
+                    nd, nd2, _NP(search_stride=2), _TC(compute_dtype="bfloat16")
+                )
+            )
+        )
+        ndb = ref.psnr(n_turbo[..., :3], n_exact[..., :3])
+        status = "OK" if ndb >= 35.0 else "LOW"
+        print(f"turbo NLM (stride2+bf16) vs exact: {ndb:.1f} dB [{status}]")
+
+        # turbo layers (guided grid) vs the exact layers two-pass pipeline
+        from image_denoising_filter_tpu.config import LayersParams as _LP
+        from image_denoising_filter_tpu.ops import (
+            cross_bilateral_layers,
+            cross_bilateral_layers_fast,
+            normalize_layers_fast,
+        )
+
+        lp_ = _LP()
+        lwc, lnw = cross_bilateral_layers(nd, nd2, lp_)
+        l_exact = np.asarray(normalize(lwc, lnw))
+        fwc, fnw = cross_bilateral_layers_fast(nd, nd2, lp_, 8, 2)
+        l_turbo = np.asarray(normalize_layers_fast(fwc, fnw))
+        ldb = ref.psnr(l_turbo[..., :3], l_exact[..., :3])
+        status = "OK" if ldb >= 35.0 else "LOW"
+        print(f"turbo layers (guided grid) vs exact: {ldb:.1f} dB [{status}]")
+
         want = ref.bilateral_reference(img, bp)
         err = np.abs(np.asarray(out_b) - want).max()
         ps = ref.psnr(np.asarray(out_b), want)
