@@ -78,17 +78,18 @@ def main() -> None:
     # search with bf16 tap planes; see docs/PERFORMANCE.md, tests/test_fast.py.
     from image_denoising_filter_tpu.ops import bilateral_fast
 
-    # Sub-10 ms pipelines: longer chains (k=10) keep the slope above the
-    # tunneled-backend noise floor.
-    dt_t = slope_time(lambda x: bilateral_fast(x, bp, 8, 2), img, k=10)
+    # Sub-10 ms pipelines: long chains keep the slope well above the
+    # tunneled-backend noise floor (each fence costs ~30 ms with several ms
+    # of jitter; a k-chain divides that jitter by k-1).
+    dt_t = slope_time(lambda x: bilateral_fast(x, bp, 8, 2), img, k=12)
     mpix_t = h * w / dt_t / 1e6
-    dt_t4 = slope_time(lambda x: bilateral_fast(x, bp, 8, 4), img, k=10)
+    dt_t4 = slope_time(lambda x: bilateral_fast(x, bp, 8, 4), img, k=24)
     mpix_t4 = h * w / dt_t4 / 1e6
 
     nlp_t = NlmParams(uniform_alpha=True, search_stride=2)
     bf16 = TilingConfig(compute_dtype="bfloat16")
     dt_nt = slope_time(
-        lambda nb, tgt: nlm_accumulate(tgt, nb, nlp_t, bf16)[0], img2, img, k=6
+        lambda nb, tgt: nlm_accumulate(tgt, nb, nlp_t, bf16)[0], img2, img, k=10
     )
     mpix_nt = h * w / dt_nt / 1e6
 
