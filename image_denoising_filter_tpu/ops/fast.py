@@ -34,7 +34,7 @@ import numpy as np
 
 from ..config import BilateralParams, BorderPolicy
 from .stencils import LOG2E as _LOG2E
-from .stencils import _use_interpret
+from .stencils import _round_up, _use_interpret
 
 
 def _gauss_taps(sigma: float, radius: int) -> np.ndarray:
@@ -186,7 +186,7 @@ def _grid_pipeline_planar(
     levels: int,
     d: int,
     tile_h: int = 128,
-    tile_w: int = 512,
+    tile_w: int = 1024,  # round-2 sweep: 128x1024 at 4K (d=4: +40% over 512)
 ) -> jnp.ndarray:
     """The fused Pallas grid pipeline: pool -> build grid -> slice.
 
@@ -195,6 +195,12 @@ def _grid_pipeline_planar(
     slice kernels per shard, and so tests can exercise the Pallas path in
     interpret mode on the CPU backend."""
     _, h, w = planar.shape
+    # Clamp the slice tile to the image: small inputs (tests, shards) must
+    # not pad up to the 4K-optimal tile. Floors keep the slab DMA provably
+    # aligned: gws = tile_w/d must be a 128-multiple and ghs = tile_h/d a
+    # 16-multiple (bf16 sublane tiling), or Mosaic rejects the tile index.
+    tile_h = max(16 * d, min(tile_h, _round_up(h, 16 * d)))
+    tile_w = max(128 * d, min(tile_w, _round_up(w, 128 * d)))
     r = params.effective_radius
     inv2sc = 0.5 / (params.sigma_color**2)
     mode = "edge" if params.border == BorderPolicy.CLAMP else "constant"
@@ -248,7 +254,7 @@ def _slice_grid_pallas(
     levels: int,
     d: int,
     tile_h: int = 128,
-    tile_w: int = 512,
+    tile_w: int = 1024,  # round-2 sweep: 128x1024 at 4K (d=4: +40% over 512)
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -347,7 +353,7 @@ def _build_grid_pallas(
     border: str,
     inv2sc: float,
     tile_h: int = 128,
-    tile_w: int = 512,
+    tile_w: int = 1024,  # round-2 sweep: 128x1024 at 4K (d=4: +40% over 512)
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -475,7 +481,7 @@ def _build_guided_grid_pallas(
     border: str,
     inv2sc: float,
     tile_h: int = 128,
-    tile_w: int = 512,
+    tile_w: int = 1024,  # round-2 sweep: 128x1024 at 4K (d=4: +40% over 512)
 ):
     """Per level k: 7 UNNORMALIZED planes [num_r num_g num_b num_a den_r
     den_g den_b], num_c = blur(w_k(guide_c) * payload_c), den_c =
@@ -574,7 +580,7 @@ def _slice_guided_grid_pallas(
     levels: int,
     d: int,
     tile_h: int = 128,
-    tile_w: int = 512,
+    tile_w: int = 1024,  # round-2 sweep: 128x1024 at 4K (d=4: +40% over 512)
 ):
     """Tent-interpolate the unnormalized guided grid at full resolution:
     returns (7, H, W) = [wc_r wc_g wc_b wc_a nw_r nw_g nw_b] partials."""
@@ -699,7 +705,9 @@ def cross_bilateral_layers_fast(
     )
     grid = jnp.pad(grid, ((0, 0), (1, 1), (1, 1)), mode="edge")
 
-    tile_h, tile_w = 128, 512
+    # Same clamp + alignment floors as _grid_pipeline_planar.
+    tile_h = max(16 * d, min(128, _round_up(h, 16 * d)))
+    tile_w = max(128 * d, min(1024, _round_up(w, 128 * d)))
     hp2 = -(-h // tile_h) * tile_h
     wp2 = -(-w // tile_w) * tile_w
     guide = jnp.pad(l_rgb, ((0, 0), (0, hp2 - h), (0, wp2 - w)), mode=mode)

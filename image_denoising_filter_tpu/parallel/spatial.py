@@ -233,7 +233,11 @@ def spatial_bilateral_fast(
     inv2sc = 0.5 / (params.sigma_color**2)
     mode = "edge" if params.border == BorderPolicy.CLAMP else "constant"
     rows_s = rows // d
-    tile_h, tile_w = 128, 512
+    # Clamp slice tiles to the local shard (short shards / test images must
+    # not pad up to the 4K-optimal tile); alignment floors as in
+    # ops.fast._grid_pipeline_planar (gws 128-multiple, ghs 16-multiple).
+    tile_h = max(16 * d, min(128, -(-rows // (16 * d)) * 16 * d))
+    tile_w = max(128 * d, min(1024, -(-w // (128 * d)) * 128 * d))
 
     @functools.partial(
         jax.shard_map,
@@ -480,7 +484,11 @@ def spatial_cross_bilateral_layers_fast(
     inv2sc = 0.5 / (params.sigma_color**2)
     mode = "edge" if params.border == BorderPolicy.CLAMP else "constant"
     rows_s = rows // d
-    tile_h, tile_w = 128, 512
+    # Clamp slice tiles to the local shard (short shards / test images must
+    # not pad up to the 4K-optimal tile); alignment floors as in
+    # ops.fast._grid_pipeline_planar (gws 128-multiple, ghs 16-multiple).
+    tile_h = max(16 * d, min(128, -(-rows // (16 * d)) * 16 * d))
+    tile_w = max(128 * d, min(1024, -(-w // (128 * d)) * 128 * d))
 
     @functools.partial(
         jax.shard_map,
