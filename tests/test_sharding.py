@@ -222,3 +222,20 @@ def test_spatial_layers_fast_matches_single_device(n_y, d):
     # flip a value across a bf16 rounding boundary (1 bf16 ulp = 0.4%), which
     # the final division then surfaces -- observed on 0.01% of pixels.
     np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-4)
+
+
+def test_spatial_nlm_turbo_params_sharded():
+    """The turbo NLM settings (stride-2 search + bf16 taps) shard like the
+    exact kernel: row-sharded output must match the single-device kernel
+    with identical params."""
+    from image_denoising_filter_tpu.config import TilingConfig
+    from image_denoising_filter_tpu.ops import nlm_accumulate
+
+    mesh = make_mesh((1, 4))
+    t, n = _frame(0), _frame(1)
+    params = NlmParams(search_radius=2, patch_radius=1, search_stride=2)
+    bf16 = TilingConfig(compute_dtype="bfloat16")
+    wc, nw = spatial_nlm_accumulate(t, n, params, mesh, bf16)
+    wwc, wnw = nlm_accumulate(t, n, params, bf16)
+    np.testing.assert_allclose(np.asarray(wc), np.asarray(wwc), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(nw), np.asarray(wnw), rtol=1e-5, atol=1e-6)
