@@ -202,3 +202,20 @@ def test_turbo_layers_session_and_cli(tmp_path):
     assert out_path.exists()
     out, _ = imageio.load(str(out_path))
     assert np.isfinite(out).all()
+
+
+@pytest.mark.parametrize("hw", [(50, 300), (97, 131)])
+def test_turbo_odd_shapes(rng, hw):
+    """Odd, non-tile-aligned shapes go through the clamped tile selection
+    (tile_w rounded to 128*d multiples so the grid-slab DMA stays provably
+    aligned); output must stay finite and close to the exact kernel."""
+    h, w = hw
+    clean, noisy = _scene(rng, h=h, w=w)
+    bp = BilateralParams()
+    got = np.asarray(bilateral_fast(noisy, bp, 8, 2))
+    assert got.shape == (h, w, 4) and np.isfinite(got).all()
+    from image_denoising_filter_tpu.ops import bilateral
+
+    exact = np.asarray(bilateral(noisy, bp))
+    db = ref.psnr(got[..., :3], exact[..., :3])
+    assert db >= 35.0, f"odd-shape turbo vs exact: {db:.1f} dB"
