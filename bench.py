@@ -1,103 +1,122 @@
-"""Benchmark: exact Pallas kernels with full reference parameters on the
-attached TPU chip. Prints ONE JSON line:
+"""Benchmark: Pallas kernels with full reference parameters on the attached
+TPU chip. Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 
 Targets (BASELINE.json): bilateral >= 5000 Mpix/s, NLM >= 500 Mpix/s per v5e
-chip at 4K; >= 59 dB PSNR parity vs the CPU bilateral reference. vs_baseline is
-the geometric mean of the two throughput ratios (1.0 == both targets met).
+chip at 4K; >= 59 dB PSNR parity vs the CPU bilateral reference. vs_baseline
+is the geometric mean of the two throughput ratios (1.0 == both targets met).
 
-Timing methodology: host fences through a tunneled backend cost ~30 ms each,
-so we chain K kernel applications inside one jitted fori_loop (data-dependent)
-and report the K=1 -> K=4 slope, which cancels the per-call roundtrip.
+Timing: the shared K-chain slope (utils/chiptime.py, ks up to 32, refeed mode
+so every chained application sees the ORIGINAL content -- required since the
+turbo slice kernel culls intensity levels per tile and would otherwise be
+measured on progressively smoothed frames).
+
+Content: the turbo modes are measured on BOTH content classes and both are
+published: `render` (synthetic render-like scene + noise -- the reference's
+actual workload class, where per-tile level culling engages) and `noise`
+(full-range iid uniform noise -- the data-independent worst case; no tile can
+cull). The headline turbo geomean uses the render-content numbers; the noise
+floor is the *_noise field of each row.
+
+Exact-kernel regression checks: all five kernel families (bilateral, NLM,
+layers, normalize -- the linear-layout variant rides the same check) compile
+on the chip and PSNR-check against their NumPy oracles; any failure lands in
+"exact_check_failures" and zeroes vs_baseline so a Mosaic regression cannot
+hide (round-2 VERDICT #5).
 """
 
 from __future__ import annotations
 
 import json
 import math
-import time
 
 import numpy as np
 
 
 def main() -> None:
     import jax
-    import jax.numpy as jnp
 
-    from image_denoising_filter_tpu.utils import compile_cache
+    from image_denoising_filter_tpu.utils import chiptime, compile_cache
 
     compile_cache.enable()
 
     from image_denoising_filter_tpu.config import (
         BilateralParams,
         CpuBilateralParams,
+        LayersParams,
         NlmParams,
         TilingConfig,
     )
-    from image_denoising_filter_tpu.ops import bilateral, nlm_accumulate, normalize
+    from image_denoising_filter_tpu.ops import (
+        bilateral,
+        bilateral_fast,
+        cross_bilateral_layers,
+        nlm_accumulate,
+        normalize,
+    )
     from image_denoising_filter_tpu.ops import reference as ref
+    from image_denoising_filter_tpu.utils.content import synthetic_render
 
     h, w = 2160, 3840  # 4K
+    n_px = h * w
     rng = np.random.default_rng(0)
-    img_h = rng.uniform(0, 1, (h, w, 4)).astype(np.float32)
-    img2_h = rng.uniform(0, 1, (h, w, 4)).astype(np.float32)
     # Representative frames: opaque alpha (every LDR render), which enables
     # the exact uniform-alpha fast path that Session auto-selects.
-    img_h[..., 3] = 1.0
-    img2_h[..., 3] = 1.0
-    img = jax.device_put(img_h)
-    img2 = jax.device_put(img2_h)
+    noise_h = rng.uniform(0, 1, (h, w, 4)).astype(np.float32)
+    noise_h[..., 3] = 1.0
+    noise2_h = rng.uniform(0, 1, (h, w, 4)).astype(np.float32)
+    noise2_h[..., 3] = 1.0
+    render_h = synthetic_render(h, w, seed=1)
+    render_h = (render_h + rng.normal(0, 0.05, render_h.shape)).astype(
+        np.float32
+    )
+    render_h[..., 3] = 1.0
+    noise = jax.device_put(noise_h)
+    noise2 = jax.device_put(noise2_h)
+    render = jax.device_put(render_h)
 
     bp = BilateralParams(uniform_alpha=True)  # radius 20 (reference GPU params)
     nlp = NlmParams(uniform_alpha=True)  # s=7 p=3 h=0.5
 
-    def slope_time(chain_fn, x0, *extra, iters=3, k=4):
-        def run_k(kk):
-            @jax.jit
-            def f(x, *e):
-                out = jax.lax.fori_loop(0, kk, lambda i, v: chain_fn(v, *e), x)
-                return jnp.sum(out[0, 0])
+    # --- exact kernels (content-independent cost; measured on noise) ---
+    fit_b = chiptime.slope_time(lambda x: bilateral(x, bp), noise, ks=(1, 2, 4))
+    fit_n = chiptime.slope_time(
+        lambda nb: nlm_accumulate(noise, nb, nlp)[0], noise2, ks=(1, 2, 4)
+    )
+    mpix_b = fit_b.mpix_s(n_px)
+    mpix_n = fit_n.mpix_s(n_px)
 
-            float(f(x0, *extra))  # compile + warm
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                float(f(x0, *extra))
-            return (time.perf_counter() - t0) / iters
-
-        t1, tk = run_k(1), run_k(k)
-        return max((tk - t1) / (k - 1), 1e-9)
-
-    dt_b = slope_time(lambda x: bilateral(x, bp), img)
-    dt_n = slope_time(lambda nb, tgt: nlm_accumulate(tgt, nb, nlp)[0], img2, img)
-    mpix_b = h * w / dt_b / 1e6
-    mpix_n = h * w / dt_n / 1e6
-
-    # First-class quality-gated approximate modes (opt-in via --turbo):
-    # per-channel bilateral grid (fused Pallas pool/build/slice pipeline,
-    # bf16 grid + MXU banded-matmul blurs) and stride-2 compensated NLM
-    # search with bf16 tap planes; see docs/PERFORMANCE.md, tests/test_fast.py.
-    from image_denoising_filter_tpu.ops import bilateral_fast
-
-    # Sub-10 ms pipelines: long chains keep the slope well above the
-    # tunneled-backend noise floor (each fence costs ~30 ms with several ms
-    # of jitter; a k-chain divides that jitter by k-1).
-    dt_t = slope_time(lambda x: bilateral_fast(x, bp, 8, 2), img, k=12)
-    mpix_t = h * w / dt_t / 1e6
-    dt_t4 = slope_time(lambda x: bilateral_fast(x, bp, 8, 4), img, k=24)
-    mpix_t4 = h * w / dt_t4 / 1e6
+    # --- quality-gated approximate (turbo) modes ---
+    # Bilateral-grid settings shipped through --turbo D (ops/fast.py).
+    TURBO_SETTINGS = ((2, 6), (4, 6), (8, 6))  # (downsample, levels); K=6 == K=8 quality, 25% faster
+    turbo = {}
+    for content_name, img in (("render", render), ("noise", noise)):
+        for d, K in TURBO_SETTINGS:
+            ks = (1, 8, 32) if d > 2 else (1, 4, 16)
+            mpix, _fit = chiptime.measure_mpix(
+                lambda x, K=K, d=d: bilateral_fast(x, bp, K, d),
+                img,
+                n_pixels=n_px,
+                ks=ks,
+            )
+            turbo[(content_name, d)] = mpix
 
     nlp_t = NlmParams(uniform_alpha=True, search_stride=2)
     bf16 = TilingConfig(compute_dtype="bfloat16")
-    dt_nt = slope_time(
-        lambda nb, tgt: nlm_accumulate(tgt, nb, nlp_t, bf16)[0], img2, img, k=10
+    mpix_nt, _ = chiptime.measure_mpix(
+        lambda nb: nlm_accumulate(noise, nb, nlp_t, bf16)[0],
+        noise2,
+        n_pixels=n_px,
+        ks=(1, 4, 10),
     )
-    mpix_nt = h * w / dt_nt / 1e6
 
-    # In-bench quality gates for the turbo rows: dB vs the exact kernels on
-    # noisy structured content (the content class turbo targets). A mode
-    # that regressed below its gate would be reported at 0 contribution.
+    # --- quality gates ---
+    # (a) 512x1024 structured sinusoids (the round-1/2 gate content);
+    # (b) the SHIPPING 4K tile configuration on render content, so a
+    #     tile-clamp bug at 4K zeroes the turbo contribution (VERDICT #6).
+    GATE_DB = 40.0
     yy, xx = np.mgrid[0:512, 0:1024].astype(np.float32)
-    clean = np.stack(
+    clean_s = np.stack(
         [
             0.5 + 0.4 * np.sin(xx / 37.0) * np.cos(yy / 23.0),
             0.5 + 0.4 * np.cos(xx / 53.0 + yy / 31.0),
@@ -106,36 +125,72 @@ def main() -> None:
         ],
         axis=-1,
     ).astype(np.float32)
-    nz = (clean + rng.normal(0, 0.05, clean.shape)).astype(np.float32)
+    nz = (clean_s + rng.normal(0, 0.05, clean_s.shape)).astype(np.float32)
     nz[..., 3] = 1.0
-    nz2 = (clean + rng.normal(0, 0.05, clean.shape)).astype(np.float32)
+    nz2 = (clean_s + rng.normal(0, 0.05, clean_s.shape)).astype(np.float32)
     nz2[..., 3] = 1.0
     nz_d, nz2_d = jax.device_put(nz), jax.device_put(nz2)
-    exact_b = np.asarray(bilateral(nz_d, bp))
-    db_t = ref.psnr(
-        np.asarray(bilateral_fast(nz_d, bp, 8, 2))[..., :3], exact_b[..., :3]
-    )
-    db_t4 = ref.psnr(
-        np.asarray(bilateral_fast(nz_d, bp, 8, 4))[..., :3], exact_b[..., :3]
-    )
-    exact_n = np.asarray(normalize(*nlm_accumulate(nz_d, nz2_d, nlp)))
+    exact_small = np.asarray(bilateral(nz_d, bp))[..., :3]
+    exact_4k = np.asarray(bilateral(render, bp))[..., :3]
+
+    gates = {}
+    for d, K in TURBO_SETTINGS:
+        db_small = ref.psnr(
+            np.asarray(bilateral_fast(nz_d, bp, K, d))[..., :3], exact_small
+        )
+        db_4k = ref.psnr(
+            np.asarray(bilateral_fast(render, bp, K, d))[..., :3], exact_4k
+        )
+        gates[d] = (db_small, db_4k)
+        if min(db_small, db_4k) < GATE_DB:
+            turbo[("render", d)] = 0.0
+            turbo[("noise", d)] = 0.0
+
+    exact_n_small = np.asarray(normalize(*nlm_accumulate(nz_d, nz2_d, nlp)))
     db_nt = ref.psnr(
-        np.asarray(normalize(*nlm_accumulate(nz_d, nz2_d, nlp_t, bf16)))[..., :3],
-        exact_n[..., :3],
+        np.asarray(normalize(*nlm_accumulate(nz_d, nz2_d, nlp_t, bf16)))[
+            ..., :3
+        ],
+        exact_n_small[..., :3],
     )
-    GATE_DB = 40.0
-    if db_t < GATE_DB:
-        mpix_t = 0.0
-    if db_t4 < GATE_DB:
-        mpix_t4 = 0.0
     if db_nt < GATE_DB:
         mpix_nt = 0.0
+
+    # --- exact-family regression checks on the chip (vs NumPy oracles) ---
+    failures = []
+    small = np.asarray(rng.uniform(0, 1, (96, 128, 4)), np.float32)
+    small2 = np.asarray(rng.uniform(0, 1, (96, 128, 4)), np.float32)
+    sd, sd2 = jax.device_put(small), jax.device_put(small2)
+    checks = {}
+    bp_c = BilateralParams()
+    checks["bilateral"] = ref.psnr(
+        np.asarray(bilateral(sd, bp_c)),
+        ref.bilateral_reference(small, bp_c),
+    )
+    nlp_c = NlmParams()
+    wc_o, nw_o = ref.nlm_reference(small, small2, nlp_c)
+    wc_k, nw_k = nlm_accumulate(sd, sd2, nlp_c)
+    checks["nlm"] = ref.psnr(
+        np.asarray(normalize(wc_k, nw_k)), ref.normalize_reference(wc_o, nw_o)
+    )
+    lp_c = LayersParams()
+    lwc_o, lnw_o = ref.cross_bilateral_layers_reference(small, small2, lp_c)
+    lwc_k, lnw_k = cross_bilateral_layers(sd, sd2, lp_c)
+    checks["layers"] = ref.psnr(
+        np.asarray(lwc_k), np.asarray(lwc_o).astype(np.float32)
+    )
+    checks["normalize"] = ref.psnr(
+        np.asarray(normalize(lwc_k, lnw_k)),
+        ref.normalize_reference(np.asarray(lwc_k), np.asarray(lnw_k)),
+    )
+    for name, db in checks.items():
+        if not (db >= 80.0):  # oracle-exact kernels sit way above this
+            failures.append(f"{name}:{db:.1f}dB")
 
     # PSNR parity: our kernel in CPU-reference-params mode vs the CPU oracle
     # (interior only -- the CPU path zeroes a radius-wide border,
     # src/main.cpp:1823-1828).
     cp = CpuBilateralParams()
-    small = np.asarray(rng.uniform(0, 1, (96, 128, 4)), np.float32)
     kernel_params = BilateralParams(
         radius=cp.radius,
         sigma_spatial=cp.sigma_spatial,
@@ -151,35 +206,45 @@ def main() -> None:
     ratio_b = mpix_b / 5000.0
     ratio_n = mpix_n / 500.0
     vs_baseline = math.sqrt(ratio_b * ratio_n)
-    # Same geomean over the quality-gated (>= 40 dB vs exact, measured above)
-    # approximate modes, using the fastest gated bilateral-grid setting. The
-    # targets are reachable only by approximation: the measured elementwise
-    # ceiling of the chip caps any EXACT 1681-tap bilateral at ~128 Mpix/s
-    # and exact NLM at ~220 (docs/PERFORMANCE.md); both exact kernels run at
-    # >80% of those ceilings.
-    best_turbo_b = max(mpix_t, mpix_t4)
-    vs_baseline_turbo = math.sqrt((best_turbo_b / 5000.0) * (mpix_nt / 500.0))
-
-    print(
-        json.dumps(
-            {
-                "metric": "4K exact-kernel throughput, geomean of bilateral/5Gpix + NLM/0.5Gpix targets",
-                "value": round(vs_baseline, 4),
-                "unit": "x-target",
-                "vs_baseline": round(vs_baseline, 4),
-                "bilateral_4k_mpix_s": round(mpix_b, 1),
-                "nlm_4k_mpix_s": round(mpix_n, 1),
-                "turbo_d2_4k_mpix_s": round(mpix_t, 1),
-                "turbo_d4_4k_mpix_s": round(mpix_t4, 1),
-                "nlm_turbo_4k_mpix_s": round(mpix_nt, 1),
-                "turbo_d2_db_vs_exact": round(db_t, 1),
-                "turbo_d4_db_vs_exact": round(db_t4, 1),
-                "nlm_turbo_db_vs_exact": round(db_nt, 1),
-                "vs_baseline_turbo_modes": round(vs_baseline_turbo, 4),
-                "psnr_parity_db": round(psnr, 1),
-            }
-        )
+    # Gated turbo geomean on the representative (render) content; the
+    # uniform-noise floors are published alongside. The targets are reachable
+    # only by approximation: the measured elementwise ceiling of the chip
+    # caps any EXACT 1681-tap bilateral at ~128 Mpix/s and exact NLM at ~220
+    # (docs/PERFORMANCE.md); both exact kernels run at >80% of those
+    # ceilings.
+    best_turbo_render = max(turbo[("render", d)] for d, _ in TURBO_SETTINGS)
+    best_turbo_noise = max(turbo[("noise", d)] for d, _ in TURBO_SETTINGS)
+    vs_baseline_turbo = math.sqrt(
+        (best_turbo_render / 5000.0) * (mpix_nt / 500.0)
     )
+    vs_baseline_turbo_noise = math.sqrt(
+        (best_turbo_noise / 5000.0) * (mpix_nt / 500.0)
+    )
+    if failures:
+        vs_baseline = 0.0
+        vs_baseline_turbo = 0.0
+        vs_baseline_turbo_noise = 0.0
+
+    out = {
+        "metric": "4K exact-kernel throughput, geomean of bilateral/5Gpix + NLM/0.5Gpix targets",
+        "value": round(vs_baseline, 4),
+        "unit": "x-target",
+        "vs_baseline": round(vs_baseline, 4),
+        "bilateral_4k_mpix_s": round(mpix_b, 1),
+        "nlm_4k_mpix_s": round(mpix_n, 1),
+        "nlm_turbo_4k_mpix_s": round(mpix_nt, 1),
+        "nlm_turbo_db_vs_exact": round(db_nt, 1),
+        "vs_baseline_turbo_modes": round(vs_baseline_turbo, 4),
+        "vs_baseline_turbo_modes_noise": round(vs_baseline_turbo_noise, 4),
+        "psnr_parity_db": round(psnr, 1),
+        "exact_check_failures": failures,
+    }
+    for d, K in TURBO_SETTINGS:
+        out[f"turbo_d{d}_4k_mpix_s"] = round(turbo[("render", d)], 1)
+        out[f"turbo_d{d}_4k_mpix_s_noise"] = round(turbo[("noise", d)], 1)
+        out[f"turbo_d{d}_db_vs_exact"] = round(gates[d][0], 1)
+        out[f"turbo_d{d}_db_vs_exact_4k"] = round(gates[d][1], 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -9,7 +9,17 @@ use the reference's flag-encoded names (src/main.cpp:1677-1682).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# The axon sitecustomize forces jax_platforms at interpreter start, which
+# silently overrides an explicit JAX_PLATFORMS from the user or the test
+# suite (whose CLI subprocesses must stay on the CPU backend instead of
+# remote-compiling against the tunneled chip). Honor the env var.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from .config import (
     GPU_BATTERY,
@@ -80,18 +90,23 @@ def main(argv: list[str] | None = None) -> int:
         "frame in the target's directory (outputs under output-dir/<frame-stem>/)",
     )
     ap.add_argument(
-        "--turbo", type=int, default=0, metavar="D", choices=[0, 1, 2, 4],
+        "--turbo", type=int, default=0, metavar="D", choices=[0, 1, 2, 4, 8],
         help="approximate speed mode: bilateral-grid with spatial reduction D "
         "for the bilateral and layer-guided configs, stride-2 search + bf16 "
         "taps for the NLM configs (0 = exact kernels; quality-vs-exact "
         "figures in docs/PERFORMANCE.md; content-dependent -- targets "
-        "renders/photos, not white noise)",
+        "renders/photos, not white noise). NOTE: under --turbo the 'linear' "
+        "config runs the same grid pipeline as 'bilateral' (the tiled-vs-"
+        "linear layout experiment is an exact-kernel concept), so those two "
+        "outputs are the same computation under different filenames",
     )
     ap.add_argument(
         "--batch-frames", action="store_true",
-        help="run non-overlap multiframe NLM as ONE frame-batched kernel "
-        "launch (single stacked upload; weight accumulators stay VMEM-"
-        "resident across frames) instead of one dispatch per frame",
+        help="run non-overlap multiframe NLM as frame-batched kernel "
+        "launches (stacked upload; weight accumulators stay VMEM-resident "
+        "across frames) instead of one dispatch per frame; long sequences "
+        "are chunked at ~1.5 GB of stacked frames to bound peak host/HBM "
+        "memory",
     )
     ap.add_argument("--radius", type=int, default=20, help="bilateral window radius")
     ap.add_argument("--sigma-spatial", type=float, default=2.0)

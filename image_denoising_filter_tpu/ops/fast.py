@@ -43,6 +43,21 @@ def _gauss_taps(sigma: float, radius: int) -> np.ndarray:
     return (w / w.sum()).astype(np.float32)
 
 
+def _grid_taps(sigma_spatial: float, d: int) -> np.ndarray:
+    """Grid-resolution blur taps with the pooling prefilter compensated.
+
+    The d x d mean-pool is itself a spatial prefilter with variance d^2/12
+    (a box of width d); the grid blur only needs to supply the remainder so
+    the *total* spatial kernel matches the exact filter's sigma_spatial.
+    The round-2 taps used sigma_spatial/d uncompensated, double-blurring at
+    d >= 4 (measured: the compensated taps are both closer to the exact
+    kernel and cheaper -- fewer taps)."""
+    var = sigma_spatial * sigma_spatial - d * d / 12.0
+    sigma_g = math.sqrt(max(var, 0.04)) / d
+    radius = max(1, int(math.ceil(4.0 * sigma_g)))
+    return _gauss_taps(sigma_g, radius)
+
+
 def _sep_blur(x: jnp.ndarray, taps: np.ndarray, border: str) -> jnp.ndarray:
     """Separable Gaussian blur over the last two axes of (..., H, W)."""
     r = (len(taps) - 1) // 2
@@ -61,6 +76,77 @@ def _sep_blur(x: jnp.ndarray, taps: np.ndarray, border: str) -> jnp.ndarray:
     x = blur_last(x)  # along W
     x = jnp.swapaxes(blur_last(jnp.swapaxes(x, -1, -2)), -1, -2)  # along H
     return x
+
+
+def _pool_pallas(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    """d x d mean-pool of (4, H, W) -> (4, H/d, W/d) in ONE Pallas pass.
+
+    The XLA strided-slice pool (_downsample) runs its lane-decimation pass at
+    ~half HBM speed and round-trips a row-pooled intermediate (~0.52 ms at
+    4K/d=4); here both pooling axes are banded bf16 MXU matmuls on a VMEM
+    tile -- one HBM read of the image, one small write (~0.19 ms). The 1/d
+    band weights are exact in bf16 for d in {2, 4, 8}; the bf16 operand
+    rounding (~1e-3 relative) is far inside the turbo approximation budget
+    (the grid itself is stored bf16). H and W must be multiples of d
+    (callers pre-pad); ragged *tile* blocks are fine -- pooling is
+    block-local, so boundary garbage only reaches masked-out cells."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _, h, w = x.shape
+    hs, ws = h // d, w // d
+    # Output tile at grid res; input tile (4, tph*d, tpw*d) f32 <= ~8 MB.
+    tph = max(8, min(256 // d, _round_up(hs, 8)))
+    tpw = max(128, min(2048 // d, _round_up(ws, 128)))
+    nh, nw = -(-hs // tph), -(-ws // tpw)
+
+    v_np = np.zeros((tph, tph * d), np.float32)
+    for r_ in range(tph):
+        v_np[r_, r_ * d : (r_ + 1) * d] = 1.0 / d
+    u_np = np.zeros((tpw * d, tpw), np.float32)
+    for c_ in range(tpw):
+        u_np[c_ * d : (c_ + 1) * d, c_] = 1.0 / d
+    v_mat = jnp.asarray(v_np, jnp.bfloat16)
+    u_mat = jnp.asarray(u_np, jnp.bfloat16)
+
+    # Ragged tile blocks put undefined values on the matmul CONTRACTION axes
+    # (a NaN there poisons the whole product row even under zero band
+    # weights) -- zero them with an iota mask on the boundary blocks.
+    ragged = (hs % tph != 0) or (ws % tpw != 0)
+
+    def kern(x_ref, v_ref, u_ref, out_ref):
+        vm = v_ref[:]
+        um = u_ref[:]
+        if ragged:
+            i, j = pl.program_id(0), pl.program_id(1)
+            shp = (tph * d, tpw * d)
+            riota = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+            ciota = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+            valid = (riota < h - i * (tph * d)) & (ciota < w - j * (tpw * d))
+        for c in range(4):
+            xb = x_ref[c].astype(jnp.bfloat16)
+            if ragged:
+                xb = jnp.where(valid, xb, jnp.bfloat16(0.0))
+            rows = jnp.dot(vm, xb, preferred_element_type=jnp.float32)
+            out_ref[c] = jnp.dot(
+                rows.astype(jnp.bfloat16), um, preferred_element_type=jnp.float32
+            )
+
+    return pl.pallas_call(
+        kern,
+        grid=(nh, nw),
+        in_specs=[
+            pl.BlockSpec((4, tph * d, tpw * d), lambda i, j: (0, i, j)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, tph, tpw), lambda i, j: (0, i, j)),
+        out_shape=jax.ShapeDtypeStruct((4, hs, ws), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=_use_interpret(),
+    )(x, v_mat, u_mat)
 
 
 def _downsample(x: jnp.ndarray, d: int) -> jnp.ndarray:
@@ -87,14 +173,15 @@ def _downsample(x: jnp.ndarray, d: int) -> jnp.ndarray:
 def bilateral_fast(
     img: jnp.ndarray,
     params: BilateralParams = BilateralParams(),
-    levels: int = 8,
+    levels: int = 6,
     downsample: int = 2,
 ) -> jnp.ndarray:
     """Approximate bilateral filter (per-channel bilateral grid).
 
-    img: (H, W, 4) float32. levels = K intensity levels; downsample = spatial
-    grid reduction d (1 disables; 2 is safe for sigma_spatial >= 2, 4 trades
-    a little edge sharpness for more speed).
+    img: (H, W, 4) float32. levels = K intensity levels (6 measured equal
+    in quality to 8 at every d on both gate contents, 25%% faster);
+    downsample = spatial grid reduction d (1 disables; 2 is safe for
+    sigma_spatial >= 2, 4 trades a little edge sharpness for more speed).
     """
     planar = jnp.transpose(img.astype(jnp.float32), (2, 0, 1))
     out = bilateral_fast_planar(planar, params, levels, downsample)
@@ -105,7 +192,7 @@ def bilateral_fast(
 def bilateral_fast_planar(
     planar: jnp.ndarray,
     params: BilateralParams = BilateralParams(),
-    levels: int = 8,
+    levels: int = 6,
     downsample: int = 2,
 ) -> jnp.ndarray:
     """Planar-layout core of `bilateral_fast`: (4, H, W) in, (4, H, W) out.
@@ -115,15 +202,9 @@ def bilateral_fast_planar(
     Session does) should call this directly."""
     planar = planar.astype(jnp.float32)
     _, h, w = planar.shape
-    r = params.effective_radius
-    sigma_s = params.sigma_spatial
     inv2sc = 0.5 / (params.sigma_color**2)
 
     rgb = planar[:3]
-
-    lmin = jnp.min(rgb, axis=(1, 2))  # (3,)
-    lmax = jnp.max(rgb, axis=(1, 2))
-    step = jnp.maximum(lmax - lmin, 1e-6) / (levels - 1)  # (3,)
 
     d = max(1, downsample)
     on_tpu = jax.default_backend() == "tpu"
@@ -131,7 +212,7 @@ def bilateral_fast_planar(
         # Fused Pallas pipeline: grid construction (range weights + blur +
         # normalize per level, one HBM read/write) then grid slicing (tent
         # interp fused with MXU-matmul bilinear upsampling).
-        return _grid_pipeline_planar(planar, lmin, step, params, levels, d)
+        return _grid_pipeline_planar(planar, params, levels, d)
 
     hp = -(-h // d) * d
     wp = -(-w // d) * d
@@ -140,8 +221,14 @@ def bilateral_fast_planar(
 
     # Build the grid at LOW resolution: guide + payload from the pooled image.
     small = _downsample(planar_p, d) if d > 1 else planar_p  # (4, hs, ws)
-    taps = _gauss_taps(sigma_s / d, max(1, int(math.ceil(r / d))))
+    taps = _grid_taps(params.sigma_spatial, d)
     rgb_s = small[:3]
+    # Grid range from the POOLED image (one cheap reduce instead of a full-res
+    # HBM pass); full-res guide values outside the pooled range clamp to the
+    # edge level in the tent interpolation below.
+    lmin = jnp.min(rgb_s, axis=(1, 2))  # (3,)
+    lmax = jnp.max(rgb_s, axis=(1, 2))
+    step = jnp.maximum(lmax - lmin, 1e-6) / (levels - 1)  # (3,)
     level_vals = lmin[:, None] + step[:, None] * jnp.arange(
         levels, dtype=jnp.float32
     )  # (3, K)
@@ -158,7 +245,11 @@ def bilateral_fast_planar(
     out_rgb_k = num_rgb / safe  # (3, K, hs, ws)
     out_a_k = num_a / safe[1]  # (K, hs, ws)
 
-    t = (rgb - lmin[:, None, None]) / step[:, None, None]  # (3, H, W) in [0, K-1]
+    # Clip to the grid range: full-res extremes that pooling averaged away
+    # slice the edge level (the pooled-range semantics).
+    t = jnp.clip(
+        (rgb - lmin[:, None, None]) / step[:, None, None], 0.0, levels - 1.0
+    )  # (3, H, W)
     out_rgb = jnp.zeros((3, h, w), jnp.float32)
     out_a = jnp.zeros((h, w), jnp.float32)
     t_g = t[1]
@@ -180,8 +271,6 @@ def bilateral_fast_planar(
 
 def _grid_pipeline_planar(
     planar: jnp.ndarray,  # (4, H, W) float32
-    lmin: jnp.ndarray,  # (3,) per-channel grid minimum (global)
-    step: jnp.ndarray,  # (3,) per-channel level step (global)
     params: BilateralParams,
     levels: int,
     d: int,
@@ -201,26 +290,45 @@ def _grid_pipeline_planar(
     # 16-multiple (bf16 sublane tiling), or Mosaic rejects the tile index.
     tile_h = max(16 * d, min(tile_h, _round_up(h, 16 * d)))
     tile_w = max(128 * d, min(tile_w, _round_up(w, 128 * d)))
-    r = params.effective_radius
     inv2sc = 0.5 / (params.sigma_color**2)
+    ua = params.uniform_alpha
     mode = "edge" if params.border == BorderPolicy.CLAMP else "constant"
     hp = -(-h // d) * d
     wp = -(-w // d) * d
     planar_p = jnp.pad(planar, ((0, 0), (0, hp - h), (0, wp - w)), mode=mode)
-    small = _downsample(planar_p, d)
-    taps = _gauss_taps(params.sigma_spatial / d, max(1, int(math.ceil(r / d))))
+    small = _pool_pallas(planar_p, d)
+    # Grid range from the pooled image: saves a full-res HBM reduce pass; the
+    # slice kernel clips t to [0, K-1] so out-of-range extremes hit the edge
+    # level. The sharded path computes the same range via pmin/pmax of the
+    # shard-local pooled mins (exact row partition => identical values).
+    lmin = jnp.min(small[:3], axis=(1, 2))
+    lmax = jnp.max(small[:3], axis=(1, 2))
+    step = jnp.maximum(lmax - lmin, 1e-6) / (levels - 1)
+    taps = _grid_taps(params.sigma_spatial, d)
     grid_k = _build_grid_pallas(
-        small, lmin, step, levels, taps, params.border, inv2sc
+        small, lmin, step, levels, taps, params.border, inv2sc, uniform_alpha=ua
     )
     grid_k = jnp.pad(grid_k, ((0, 0), (1, 1), (1, 1)), mode="edge")
-    hp2 = -(-h // tile_h) * tile_h
-    wp2 = -(-w // tile_w) * tile_w
-    guide = jnp.pad(
-        planar[:3], ((0, 0), (0, hp2 - h), (0, wp2 - w)), mode=mode
-    )
+    # Uniform alpha: sum(tent_k) == 1 and the grid's alpha payload is the
+    # constant itself, so the output alpha plane is just that constant --
+    # the kernel skips the whole alpha level sweep (shaders/bialteral.comp:70
+    # carries alpha through the same normalized sum).
+    alpha_val = planar[3, 0, 0] if ua else None
+    # The slice kernel takes the UNPADDED guide and writes the unpadded
+    # output (ragged boundary blocks are masked): no full-res pad/crop
+    # copies.
     return _slice_grid_pallas(
-        guide, grid_k, lmin, 1.0 / step, levels, d, tile_h, tile_w
-    )[:, :h, :w]
+        planar[:3],
+        grid_k,
+        lmin,
+        1.0 / step,
+        levels,
+        d,
+        tile_h,
+        tile_w,
+        uniform_alpha=ua,
+        alpha_val=alpha_val,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -248,24 +356,34 @@ def _upsample_matrix(d: int, n_in: int, n_out: int) -> np.ndarray:
 
 def _slice_grid_pallas(
     guide: jnp.ndarray,  # (3, H, W) full-res rgb (padded to tile multiples)
-    grid: jnp.ndarray,  # (4K, hs+2, ws+2) edge-padded grid, K*(r,g,b,a)-major
+    grid: jnp.ndarray,  # (nc*K, hs+2, ws+2) edge-padded grid, level-major
     lmin: jnp.ndarray,  # (3,)
     inv_step: jnp.ndarray,  # (3,)
     levels: int,
     d: int,
     tile_h: int = 128,
     tile_w: int = 1024,  # round-2 sweep: 128x1024 at 4K (d=4: +40% over 512)
+    uniform_alpha: bool = False,
+    alpha_val: jnp.ndarray | None = None,  # scalar; required if uniform_alpha
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     _, h, w = guide.shape
+    nc = 3 if uniform_alpha else 4  # grid planes per level
     ghs, gws = tile_h // d, tile_w // d
     # bf16 grids tile as (16, 128): round the slab DMA to bf16 alignment.
     row_tile = 16 if grid.dtype == jnp.bfloat16 else 8
     slab_h = -(-(ghs + 2) // row_tile) * row_tile
     slab_w = -(-(gws + 2) // 128) * 128
-    nh, nw = h // tile_h, w // tile_w
+    # Ragged grid: guide/out stay UNPADDED (cdiv grid, Pallas masks boundary
+    # blocks). The round-2 kernel required tile-multiple padding, which cost
+    # a full-res jnp.pad copy of the guide plus a full-res crop of the output
+    # (~0.6 ms of pure HBM copies at 4K). Boundary-block garbage can only
+    # reach discarded pixels -- except through the culling min/max, which is
+    # masked below.
+    nh, nw = -(-h // tile_h), -(-w // tile_w)
+    ragged = (h % tile_h != 0) or (w % tile_w != 0)
     # Bilinear weights are multiples of 1/d -- exact in bf16; keeping the
     # matrices in the grid's dtype keeps the dot a single-pass bf16 matmul.
     u_mat = jnp.asarray(_upsample_matrix(d, gws + 2, tile_w)).astype(grid.dtype)
@@ -280,9 +398,17 @@ def _slice_grid_pallas(
         ),
         mode="edge",
     )
-    lim = jnp.stack([lmin, inv_step], axis=1)  # (3, 2)
+    # lim rows 0-2: (lmin, 1/step) per channel; row 3: (alpha_const, 0).
+    av = alpha_val if uniform_alpha else jnp.float32(0.0)
+    lim = jnp.concatenate(
+        [
+            jnp.stack([lmin, inv_step], axis=1),
+            jnp.stack([av.astype(jnp.float32), jnp.float32(0.0)])[None],
+        ],
+        axis=0,
+    )  # (4, 2)
 
-    def kern(guide_ref, grid_hbm, lim_ref, u_ref, v_ref, out_ref, slab, sem):
+    def kern(guide_ref, grid_hbm, lim_ref, u_ref, v_ref, out_ref, slab, acc, sem):
         i, j = pl.program_id(0), pl.program_id(1)
         cp = pltpu.make_async_copy(
             grid_hbm.at[:, pl.ds(i * ghs, slab_h), pl.ds(j * gws, slab_w)],
@@ -292,28 +418,73 @@ def _slice_grid_pallas(
         cp.start()
         ts = []
         for c in range(3):
-            ts.append((guide_ref[c] - lim_ref[c, 0]) * lim_ref[c, 1])
-        ts.append(ts[1])  # alpha rides green
+            # Clip to the grid range: lmin/step come from the pooled image,
+            # so full-res extremes can fall outside -- they slice the edge
+            # level (tent sums to 1 on the clipped value).
+            t = (guide_ref[c] - lim_ref[c, 0]) * lim_ref[c, 1]
+            ts.append(jnp.clip(t, 0.0, float(levels - 1)))
+        # Per-tile level culling bounds: tent_k is nonzero somewhere in the
+        # tile iff tmin[c] < k+1 and tmax[c] > k-1. EXACT: culled levels have
+        # identically zero tent weight on every pixel of the tile. Real
+        # content is locally low-dynamic-range, so most tiles sweep a small
+        # subset of the K levels.
+        if ragged:
+            # Boundary blocks read out-of-range guide values (undefined);
+            # they only land on discarded pixels, but a NaN there would
+            # poison the min/max -- replace them with the mid level (worst
+            # case: a boundary tile computes a few extra exactly-zero-tent
+            # levels).
+            riota = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+            ciota = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+            valid = (riota < h - i * tile_h) & (ciota < w - j * tile_w)
+            mid = jnp.float32((levels - 1) * 0.5)
+            red = [jnp.where(valid, t, mid) for t in ts]
+        else:
+            red = ts
+        tmins = [jnp.min(t) for t in red]
+        tmaxs = [jnp.max(t) for t in red]
+        n_acc = 3 if uniform_alpha else 4
+        for c in range(n_acc):
+            acc[c] = jnp.zeros((tile_h, tile_w), jnp.float32)
         cp.wait()
         um = u_ref[:]
         vm = v_ref[:]
-        accs = [jnp.zeros((tile_h, tile_w), jnp.float32) for _ in range(4)]
         for k in range(levels):
-            for c in range(4):
-                cell = slab[k * 4 + c, 0 : ghs + 2, 0 : gws + 2]
-                # Single-pass bf16 matmuls: the banded weights are exact in
-                # bf16 and the ~1e-3 relative rounding on grid values is far
-                # inside the turbo approximation budget (6x fewer MXU passes
-                # than float32-emulation precision).
-                up = jnp.dot(
-                    vm,
-                    jnp.dot(cell, um, preferred_element_type=jnp.float32),
-                    preferred_element_type=jnp.float32,
-                )
-                tent = jnp.clip(1.0 - jnp.abs(ts[c] - k), 0.0, 1.0)
-                accs[c] = accs[c] + tent * up
-        for c in range(4):
-            out_ref[c] = accs[c]
+            for c in range(3):
+
+                @pl.when((tmins[c] < k + 1) & (tmaxs[c] > k - 1))
+                def _level_channel(k=k, c=c):
+                    cell = slab[k * nc + c, 0 : ghs + 2, 0 : gws + 2]
+                    # Single-pass bf16 matmuls: the banded weights are exact
+                    # in bf16 and the ~1e-3 rounding on grid values is far
+                    # inside the turbo approximation budget.
+                    up = jnp.dot(
+                        vm,
+                        jnp.dot(cell, um, preferred_element_type=jnp.float32),
+                        preferred_element_type=jnp.float32,
+                    )
+                    # max-form tent: 1 - |t-k| never exceeds 1, so the upper
+                    # clip is free.
+                    tent = jnp.maximum(1.0 - jnp.abs(ts[c] - k), 0.0)
+                    acc[c] += tent * up
+                    if not uniform_alpha and c == 1:
+                        # alpha rides green: same tent, same culling window.
+                        cell_a = slab[k * nc + 3, 0 : ghs + 2, 0 : gws + 2]
+                        up_a = jnp.dot(
+                            vm,
+                            jnp.dot(
+                                cell_a, um, preferred_element_type=jnp.float32
+                            ),
+                            preferred_element_type=jnp.float32,
+                        )
+                        acc[3] += tent * up_a
+
+        for c in range(3):
+            out_ref[c] = acc[c]
+        if uniform_alpha:
+            out_ref[3] = jnp.zeros((tile_h, tile_w), jnp.float32) + lim_ref[3, 0]
+        else:
+            out_ref[3] = acc[3]
 
     return pl.pallas_call(
         kern,
@@ -321,14 +492,15 @@ def _slice_grid_pallas(
         in_specs=[
             pl.BlockSpec((3, tile_h, tile_w), lambda i, j: (0, i, j)),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((3, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((4, tile_h, tile_w), lambda i, j: (0, i, j)),
         out_shape=jax.ShapeDtypeStruct((4, h, w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((4 * levels, slab_h, slab_w), grid.dtype),
+            pltpu.VMEM((nc * levels, slab_h, slab_w), grid.dtype),
+            pltpu.VMEM((3 if uniform_alpha else 4, tile_h, tile_w), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
@@ -354,15 +526,20 @@ def _build_grid_pallas(
     inv2sc: float,
     tile_h: int = 128,
     tile_w: int = 1024,  # round-2 sweep: 128x1024 at 4K (d=4: +40% over 512)
+    uniform_alpha: bool = False,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     _, hs, ws = small.shape
+    nc = 3 if uniform_alpha else 4  # output planes per level
     r = (len(taps) - 1) // 2
     rh = -(-r // 4) * 4
     lh = 128
-    th = min(tile_h, -(-hs // 8) * 8)
+    # Output is bf16 (16-row sublane tiles): round the tile height to 16 so
+    # small grids (tiny shards, heavy downsample) keep a Mosaic-legal output
+    # block on the real chip.
+    th = min(tile_h, -(-hs // 16) * 16)
     tw = min(tile_w, -(-ws // 128) * 128)
     nh, nw = -(-hs // th), -(-ws // tw)
     mode = "edge" if border == BorderPolicy.CLAMP else "constant"
@@ -415,6 +592,7 @@ def _build_grid_pallas(
         for k in range(levels):
             den = [None] * 3
             num = [None] * 3
+            na = None
             for c in range(3):
                 lv = lim_ref[c, 0] + lim_ref[c, 1] * np.float32(k)
                 dcol = ext[c] - lv
@@ -423,15 +601,16 @@ def _build_grid_pallas(
                 wk = jnp.exp2(-(dcol * dcol) * jnp.float32(inv2sc * _LOG2E))
                 den[c] = blur(wk)
                 num[c] = blur(wk * ext[c])
-                if c == 1:
+                if c == 1 and not uniform_alpha:
                     na = blur(wk * ext[3])
             for c in range(3):
-                out_ref[4 * k + c] = (
+                out_ref[nc * k + c] = (
                     num[c] / jnp.maximum(den[c], 1e-20)
                 ).astype(out_ref.dtype)
-            out_ref[4 * k + 3] = (na / jnp.maximum(den[1], 1e-20)).astype(
-                out_ref.dtype
-            )
+            if not uniform_alpha:
+                out_ref[nc * k + 3] = (na / jnp.maximum(den[1], 1e-20)).astype(
+                    out_ref.dtype
+                )
 
     return pl.pallas_call(
         kern,
@@ -442,12 +621,12 @@ def _build_grid_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((4 * levels, th, tw), lambda i, j: (0, i, j)),
+        out_specs=pl.BlockSpec((nc * levels, th, tw), lambda i, j: (0, i, j)),
         # bf16 grid storage: the grid is consumed by the slice kernel's bf16
         # MXU matmuls anyway, so storing it bf16 halves the grid's HBM write,
         # the edge-pad copy, and the slab re-read (~1.2 ms at 4K/d=2) at no
         # additional precision cost on the turbo output.
-        out_shape=jax.ShapeDtypeStruct((4 * levels, hs, ws), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((nc * levels, hs, ws), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((4, th + 2 * rh, tw + 2 * lh), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
@@ -493,7 +672,9 @@ def _build_guided_grid_pallas(
     r = (len(taps) - 1) // 2
     rh = -(-r // 4) * 4
     lh = 128
-    th = min(tile_h, -(-hs // 8) * 8)
+    # bf16 output planes tile as (16, 128): 16-row tile floor (see
+    # _build_grid_pallas).
+    th = min(tile_h, -(-hs // 16) * 16)
     tw = min(tile_w, -(-ws // 128) * 128)
     nh, nw = -(-hs // th), -(-ws // tw)
     mode = "edge" if border == BorderPolicy.CLAMP else "constant"
@@ -592,7 +773,9 @@ def _slice_guided_grid_pallas(
     row_tile = 16 if grid.dtype == jnp.bfloat16 else 8
     slab_h = -(-(ghs + 2) // row_tile) * row_tile
     slab_w = -(-(gws + 2) // 128) * 128
-    nh, nw = h // tile_h, w // tile_w
+    # Ragged grid, unpadded guide/out (see _slice_grid_pallas).
+    nh, nw = -(-h // tile_h), -(-w // tile_w)
+    ragged = (h % tile_h != 0) or (w % tile_w != 0)
     u_mat = jnp.asarray(_upsample_matrix(d, gws + 2, tile_w)).astype(grid.dtype)
     v_mat = jnp.asarray(_upsample_matrix(d, ghs + 2, tile_h).T).astype(grid.dtype)
 
@@ -607,7 +790,7 @@ def _slice_guided_grid_pallas(
     )
     lim = jnp.stack([lmin, inv_step], axis=1)  # (3, 2)
 
-    def kern(guide_ref, grid_hbm, lim_ref, u_ref, v_ref, out_ref, slab, sem):
+    def kern(guide_ref, grid_hbm, lim_ref, u_ref, v_ref, out_ref, slab, acc, sem):
         i, j = pl.program_id(0), pl.program_id(1)
         cp = pltpu.make_async_copy(
             grid_hbm.at[:, pl.ds(i * ghs, slab_h), pl.ds(j * gws, slab_w)],
@@ -617,27 +800,47 @@ def _slice_guided_grid_pallas(
         cp.start()
         ts = []
         for c in range(3):
-            ts.append((guide_ref[c] - lim_ref[c, 0]) * lim_ref[c, 1])
-        ts.append(ts[1])  # alpha rides green
+            t = (guide_ref[c] - lim_ref[c, 0]) * lim_ref[c, 1]
+            ts.append(jnp.clip(t, 0.0, float(levels - 1)))
+        # Per-tile level culling (exact; see _slice_grid_pallas), with the
+        # boundary-block mask on the reduction operand.
+        if ragged:
+            riota = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+            ciota = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+            valid = (riota < h - i * tile_h) & (ciota < w - j * tile_w)
+            mid = jnp.float32((levels - 1) * 0.5)
+            red = [jnp.where(valid, t, mid) for t in ts]
+        else:
+            red = ts
+        tmins = [jnp.min(t) for t in red]
+        tmaxs = [jnp.max(t) for t in red]
+        for p_idx in range(7):
+            acc[p_idx] = jnp.zeros((tile_h, tile_w), jnp.float32)
         cp.wait()
         um = u_ref[:]
         vm = v_ref[:]
-        accs = [jnp.zeros((tile_h, tile_w), jnp.float32) for _ in range(7)]
+
+        def upsample(plane):
+            cell = slab[plane, 0 : ghs + 2, 0 : gws + 2]
+            return jnp.dot(
+                vm,
+                jnp.dot(cell, um, preferred_element_type=jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+
         for k in range(levels):
-            tents = [
-                jnp.clip(1.0 - jnp.abs(ts[c] - k), 0.0, 1.0) for c in range(4)
-            ]
-            for p_idx in range(7):
-                cell = slab[7 * k + p_idx, 0 : ghs + 2, 0 : gws + 2]
-                up = jnp.dot(
-                    vm,
-                    jnp.dot(cell, um, preferred_element_type=jnp.float32),
-                    preferred_element_type=jnp.float32,
-                )
-                tc = p_idx if p_idx < 4 else p_idx - 4
-                accs[p_idx] = accs[p_idx] + tents[tc] * up
+            for c in range(3):
+
+                @pl.when((tmins[c] < k + 1) & (tmaxs[c] > k - 1))
+                def _level_channel(k=k, c=c):
+                    tent = jnp.maximum(1.0 - jnp.abs(ts[c] - k), 0.0)
+                    acc[c] += tent * upsample(7 * k + c)  # num_c
+                    acc[4 + c] += tent * upsample(7 * k + 4 + c)  # den_c
+                    if c == 1:  # alpha num rides green's tent + culling
+                        acc[3] += tent * upsample(7 * k + 3)
+
         for p_idx in range(7):
-            out_ref[p_idx] = accs[p_idx]
+            out_ref[p_idx] = acc[p_idx]
 
     return pl.pallas_call(
         kern,
@@ -653,6 +856,7 @@ def _slice_guided_grid_pallas(
         out_shape=jax.ShapeDtypeStruct((7, h, w), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((7 * levels, slab_h, slab_w), grid.dtype),
+            pltpu.VMEM((7, tile_h, tile_w), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
@@ -665,7 +869,7 @@ def cross_bilateral_layers_fast(
     target: jnp.ndarray,
     layer: jnp.ndarray,
     params=None,
-    levels: int = 8,
+    levels: int = 6,
     downsample: int = 2,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """TURBO cross-bilateral partials for ONE layer: (H, W, 4) target +
@@ -684,36 +888,35 @@ def cross_bilateral_layers_fast(
     l_planar = jnp.transpose(layer.astype(jnp.float32), (2, 0, 1))
     _, h, w = t_planar.shape
     d = max(1, downsample)
-    r = params.effective_radius
     inv2sc = 0.5 / (params.sigma_color**2)
     mode = "edge" if params.border == BorderPolicy.CLAMP else "constant"
 
     l_rgb = l_planar[:3]
-    lmin = jnp.min(l_rgb, axis=(1, 2))
-    lmax = jnp.max(l_rgb, axis=(1, 2))
-    step = jnp.maximum(lmax - lmin, 1e-6) / (levels - 1)
 
     hp = -(-h // d) * d
     wp = -(-w // d) * d
     t_p = jnp.pad(t_planar, ((0, 0), (0, hp - h), (0, wp - w)), mode=mode)
     l_p = jnp.pad(l_planar, ((0, 0), (0, hp - h), (0, wp - w)), mode=mode)
-    small_t = _downsample(t_p, d)
-    small_l = _downsample(l_p, d)
-    taps = _gauss_taps(params.sigma_spatial / d, max(1, int(math.ceil(r / d))))
+    small_t = _pool_pallas(t_p, d)
+    small_l = _pool_pallas(l_p, d)
+    # Pooled-layer grid range + t clipping in the slice kernel (see
+    # _grid_pipeline_planar): one cheap reduce instead of a full-res pass.
+    lmin = jnp.min(small_l[:3], axis=(1, 2))
+    lmax = jnp.max(small_l[:3], axis=(1, 2))
+    step = jnp.maximum(lmax - lmin, 1e-6) / (levels - 1)
+    taps = _grid_taps(params.sigma_spatial, d)
     grid = _build_guided_grid_pallas(
         small_t, small_l, lmin, step, levels, taps, params.border, inv2sc
     )
     grid = jnp.pad(grid, ((0, 0), (1, 1), (1, 1)), mode="edge")
 
-    # Same clamp + alignment floors as _grid_pipeline_planar.
+    # Same clamp + alignment floors as _grid_pipeline_planar; unpadded
+    # guide/out (ragged boundary blocks are masked in the kernel).
     tile_h = max(16 * d, min(128, _round_up(h, 16 * d)))
     tile_w = max(128 * d, min(1024, _round_up(w, 128 * d)))
-    hp2 = -(-h // tile_h) * tile_h
-    wp2 = -(-w // tile_w) * tile_w
-    guide = jnp.pad(l_rgb, ((0, 0), (0, hp2 - h), (0, wp2 - w)), mode=mode)
     planes = _slice_guided_grid_pallas(
-        guide, grid, lmin, 1.0 / step, levels, d, tile_h, tile_w
-    )[:, :h, :w]
+        l_rgb, grid, lmin, 1.0 / step, levels, d, tile_h, tile_w
+    )
     wc = jnp.transpose(planes[:4], (1, 2, 0))
     nw = jnp.transpose(planes[4:], (1, 2, 0))
     return wc, nw

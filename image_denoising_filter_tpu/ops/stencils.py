@@ -467,6 +467,7 @@ def _box_rows(x: jnp.ndarray, k: int, out_h: int) -> jnp.ndarray:
 def _nlm_kernel(
     tgt_hbm,
     nbr_hbm,
+    valid_ref,
     out_wc_ref,
     out_nw_ref,
     tgt_tile,
@@ -592,6 +593,16 @@ def _nlm_kernel(
         alpha = nbr_tile[3, rhn : rhn + th, lhn : lhn + tw]
         wc3 = alpha * (nw - jnp.float32(norm_seed))
 
+    # Frame validity mask (sharded temporal path pads the frame axis to the
+    # mesh's 'frame' size): a masked frame contributes neither weights nor
+    # its norm seed -- same semantics as the scan path's `partial * v`.
+    v = valid_ref[f]
+    wc0 = wc0 * v
+    wc1 = wc1 * v
+    wc2 = wc2 * v
+    wc3 = wc3 * v
+    nw = nw * v
+
     @pl.when(f == 0)
     def _init_out():
         out_wc_ref[0] = wc0
@@ -614,9 +625,12 @@ def _nlm_planar_frames(
     frames: jnp.ndarray,  # (F, 4, H, W)
     params: NlmParams,
     tiling: Optional[TilingConfig],
+    valid: Optional[jnp.ndarray] = None,  # (F,) float 0/1 frame mask
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     _, h, w = tgt.shape
     n_frames = frames.shape[0]
+    if valid is None:
+        valid = jnp.ones((n_frames,), jnp.float32)
     s, p = params.search_radius, params.patch_radius
     stride = params.search_stride
     rht, lht = _halos(p)
@@ -655,6 +669,7 @@ def _nlm_planar_frames(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((4, th, tw), lambda i, j, f: (0, i, j)),
@@ -679,7 +694,7 @@ def _nlm_planar_frames(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=_use_interpret(),
-    )(padded_t, padded_n)
+    )(padded_t, padded_n, valid.astype(jnp.float32))
     return wc, nw
 
 
@@ -709,18 +724,22 @@ def nlm_accumulate_frames(
     frames: jnp.ndarray,
     params: NlmParams = NlmParams(),
     tiling: Optional[TilingConfig] = None,
+    valid: Optional[jnp.ndarray] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Temporal NLM accumulation over a stacked (F, H, W, 4) frame batch in ONE
     kernel launch: the frame axis is the innermost grid dimension, so the
     weight accumulators live in VMEM across frames like the reference's
     persistent weights buffer (src/main.cpp:1430-1433) instead of paying a
     per-frame HBM round-trip. Each frame contributes its norm seed
-    (shaders/nonlocal.comp:32); finish with normalize()."""
+    (shaders/nonlocal.comp:32); finish with normalize(). `valid` ((F,) float
+    0/1) masks padding frames: a masked frame contributes neither weights
+    nor its seed."""
     wc, nw = _nlm_planar_frames(
         _to_planar(target),
         jnp.transpose(frames.astype(jnp.float32), (0, 3, 1, 2)),
         params,
         tiling,
+        valid,
     )
     return _from_planar(wc), nw[0]
 

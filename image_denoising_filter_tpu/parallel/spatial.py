@@ -197,7 +197,7 @@ def spatial_bilateral_fast(
     img: jnp.ndarray,
     params: BilateralParams = BilateralParams(),
     mesh: Optional[Mesh] = None,
-    levels: int = 8,
+    levels: int = 6,
     downsample: int = 2,
 ) -> jnp.ndarray:
     """TURBO bilateral grid with H sharded over the mesh's 'y' axis.
@@ -224,10 +224,7 @@ def spatial_bilateral_fast(
             f"sharded turbo needs H ({h}) divisible by y-shards*downsample "
             f"({n_y}*{d}); pad rows first (runtime.Session does)"
         )
-    r = params.effective_radius
-    taps = ops_fast._gauss_taps(
-        params.sigma_spatial / d, max(1, int(math.ceil(r / d)))
-    )
+    taps = ops_fast._grid_taps(params.sigma_spatial, d)
     rg = (len(taps) - 1) // 2
     halo_s = rg + 1  # grid rows [-1, rows_s+1) need small rows +-(rg+1)
     inv2sc = 0.5 / (params.sigma_color**2)
@@ -249,18 +246,28 @@ def spatial_bilateral_fast(
     def run(local):
         planar = jnp.transpose(local.astype(jnp.float32), (2, 0, 1))
         rgb = planar[:3]
-        lmin = jax.lax.pmin(jnp.min(rgb, axis=(1, 2)), SPATIAL_AXIS)
-        lmax = jax.lax.pmax(jnp.max(rgb, axis=(1, 2)), SPATIAL_AXIS)
-        step = jnp.maximum(lmax - lmin, 1e-6) / (levels - 1)
 
         wp = -(-w // d) * d
         planar_p = jnp.pad(planar, ((0, 0), (0, 0), (0, wp - w)), mode=mode)
-        small = ops_fast._downsample(planar_p, d)  # (4, rows_s, ws)
+        small = ops_fast._pool_pallas(planar_p, d)  # (4, rows_s, ws)
+        # Pooled-image grid range (matches _grid_pipeline_planar): pooling is
+        # an exact row partition across shards, so pmin/pmax of the local
+        # pooled extrema equal the unsharded pooled extrema bit-for-bit.
+        lmin = jax.lax.pmin(jnp.min(small[:3], axis=(1, 2)), SPATIAL_AXIS)
+        lmax = jax.lax.pmax(jnp.max(small[:3], axis=(1, 2)), SPATIAL_AXIS)
+        step = jnp.maximum(lmax - lmin, 1e-6) / (levels - 1)
         small_ext = _exchange_halo(
             small, halo_s, params.border, SPATIAL_AXIS, row_axis=1
         )
         grid_ext = ops_fast._build_grid_pallas(
-            small_ext, lmin, step, levels, taps, params.border, inv2sc
+            small_ext,
+            lmin,
+            step,
+            levels,
+            taps,
+            params.border,
+            inv2sc,
+            uniform_alpha=params.uniform_alpha,
         )
         # Keep grid rows [-1, rows_s+1): real neighbor rows stand in for the
         # (1, 1) edge padding of the unsharded slice; W gets the same edge pad.
@@ -282,14 +289,18 @@ def spatial_bilateral_fast(
             [top_row, grid_sl[:, 1 : rows_s + 1, :], bot_row], axis=1
         )
         grid_sl = jnp.pad(grid_sl, ((0, 0), (0, 0), (1, 1)), mode="edge")
-        hp2 = -(-rows // tile_h) * tile_h
-        wp2 = -(-w // tile_w) * tile_w
-        guide = jnp.pad(
-            rgb, ((0, 0), (0, hp2 - rows), (0, wp2 - w)), mode=mode
-        )
         out = ops_fast._slice_grid_pallas(
-            guide, grid_sl, lmin, 1.0 / step, levels, d, tile_h, tile_w
-        )[:, :rows, :w]
+            rgb,
+            grid_sl,
+            lmin,
+            1.0 / step,
+            levels,
+            d,
+            tile_h,
+            tile_w,
+            uniform_alpha=params.uniform_alpha,
+            alpha_val=planar[3, 0, 0] if params.uniform_alpha else None,
+        )
         return jnp.transpose(out, (1, 2, 0))
 
     return run(img)
@@ -393,23 +404,32 @@ def temporal_nlm_sharded_partials(
     def run(t_local, frames_local, valid_local):
         rows = t_local.shape[0]
         t_ext = _exchange_halo(t_local, halo, params.border, SPATIAL_AXIS)
+        f_ext = jax.vmap(
+            lambda fr: _exchange_halo(fr, halo, params.border, SPATIAL_AXIS)
+        )(frames_local)
+        if linear:
+            # XLA variant has no frame-batched kernel: per-frame scan.
+            def body(carry, frame_and_valid):
+                frame, v = frame_and_valid
+                wc_c, nw_c = carry
+                pwc, pnw = ops_xla.nlm_xla(t_ext, frame, params)
+                return (wc_c + pwc * v, nw_c + pnw * v), None
 
-        def body(carry, frame_and_valid):
-            frame, v = frame_and_valid
-            wc, nw = carry
-            f_ext = _exchange_halo(frame, halo, params.border, SPATIAL_AXIS)
-            if linear:
-                pwc, pnw = ops_xla.nlm_xla(t_ext, f_ext, params)
-            else:
-                pwc, pnw = ops.nlm_accumulate(t_ext, f_ext, params, tiling)
-            return (wc + pwc * v, nw + pnw * v), None
-
-        ext_rows = rows + 2 * halo
-        init = (
-            jnp.zeros((ext_rows, t_local.shape[1], 4), jnp.float32),
-            jnp.zeros((ext_rows, t_local.shape[1]), jnp.float32),
-        )
-        (wc, nw), _ = jax.lax.scan(body, init, (frames_local, valid_local))
+            ext_rows = rows + 2 * halo
+            init = (
+                jnp.zeros((ext_rows, t_local.shape[1], 4), jnp.float32),
+                jnp.zeros((ext_rows, t_local.shape[1]), jnp.float32),
+            )
+            (wc, nw), _ = jax.lax.scan(body, init, (f_ext, valid_local))
+        else:
+            # Frame-batched Pallas kernel over the device's local frame
+            # chunk: the (wc, nw) accumulators stay VMEM-resident across the
+            # frame axis (the reference's persistent weights buffer,
+            # src/main.cpp:1430-1433) instead of a per-frame HBM round-trip
+            # of the partials. `valid` masks padding frames in-kernel.
+            wc, nw = ops.nlm_accumulate_frames(
+                t_ext, f_ext, params, tiling, valid_local
+            )
         wc = jax.lax.psum(wc, FRAME_AXIS)
         nw = jax.lax.psum(nw, FRAME_AXIS)
         return wc[halo : halo + rows], nw[halo : halo + rows]
@@ -447,7 +467,7 @@ def spatial_cross_bilateral_layers_fast(
     layer: jnp.ndarray,
     params=None,
     mesh: Optional[Mesh] = None,
-    levels: int = 8,
+    levels: int = 6,
     downsample: int = 2,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """TURBO layer-guided partials with H sharded over the mesh's 'y' axis.
@@ -475,10 +495,7 @@ def spatial_cross_bilateral_layers_fast(
             f"sharded turbo layers needs H ({h}) divisible by y-shards*"
             f"downsample ({n_y}*{d}); pad rows first (runtime.Session does)"
         )
-    r = params.effective_radius
-    taps = ops_fast._gauss_taps(
-        params.sigma_spatial / d, max(1, int(math.ceil(r / d)))
-    )
+    taps = ops_fast._grid_taps(params.sigma_spatial, d)
     rg = (len(taps) - 1) // 2
     halo_s = rg + 1
     inv2sc = 0.5 / (params.sigma_color**2)
@@ -501,15 +518,16 @@ def spatial_cross_bilateral_layers_fast(
         t_planar = jnp.transpose(t_local.astype(jnp.float32), (2, 0, 1))
         l_planar = jnp.transpose(l_local.astype(jnp.float32), (2, 0, 1))
         l_rgb = l_planar[:3]
-        lmin = jax.lax.pmin(jnp.min(l_rgb, axis=(1, 2)), SPATIAL_AXIS)
-        lmax = jax.lax.pmax(jnp.max(l_rgb, axis=(1, 2)), SPATIAL_AXIS)
-        step = jnp.maximum(lmax - lmin, 1e-6) / (levels - 1)
 
         wp = -(-w // d) * d
         t_p = jnp.pad(t_planar, ((0, 0), (0, 0), (0, wp - w)), mode=mode)
         l_p = jnp.pad(l_planar, ((0, 0), (0, 0), (0, wp - w)), mode=mode)
-        small_t = ops_fast._downsample(t_p, d)
-        small_l = ops_fast._downsample(l_p, d)
+        small_t = ops_fast._pool_pallas(t_p, d)
+        small_l = ops_fast._pool_pallas(l_p, d)
+        # Pooled-layer grid range (matches cross_bilateral_layers_fast).
+        lmin = jax.lax.pmin(jnp.min(small_l[:3], axis=(1, 2)), SPATIAL_AXIS)
+        lmax = jax.lax.pmax(jnp.max(small_l[:3], axis=(1, 2)), SPATIAL_AXIS)
+        step = jnp.maximum(lmax - lmin, 1e-6) / (levels - 1)
         small_t_ext = _exchange_halo(small_t, halo_s, params.border, SPATIAL_AXIS, row_axis=1)
         small_l_ext = _exchange_halo(small_l, halo_s, params.border, SPATIAL_AXIS, row_axis=1)
         grid_ext = ops_fast._build_guided_grid_pallas(
@@ -528,12 +546,9 @@ def spatial_cross_bilateral_layers_fast(
             [top_row, grid_sl[:, 1 : rows_s + 1, :], bot_row], axis=1
         )
         grid_sl = jnp.pad(grid_sl, ((0, 0), (0, 0), (1, 1)), mode="edge")
-        hp2 = -(-rows // tile_h) * tile_h
-        wp2 = -(-w // tile_w) * tile_w
-        guide = jnp.pad(l_rgb, ((0, 0), (0, hp2 - rows), (0, wp2 - w)), mode=mode)
         planes = ops_fast._slice_guided_grid_pallas(
-            guide, grid_sl, lmin, 1.0 / step, levels, d, tile_h, tile_w
-        )[:, :rows, :w]
+            l_rgb, grid_sl, lmin, 1.0 / step, levels, d, tile_h, tile_w
+        )
         wc = jnp.transpose(planes[:4], (1, 2, 0))
         nw = jnp.transpose(planes[4:], (1, 2, 0))
         return wc, nw

@@ -489,28 +489,47 @@ class Session:
                 out = model.finalize(carry)
                 _fence(out)
         elif self.batch_frames:
-            # One stacked transfer + one frame-batched kernel launch: the
-            # (wc, nw) accumulators stay VMEM-resident across the frame axis
-            # instead of paying a dispatch + fence + partials round-trip per
-            # frame. Exact same partials as the streamed loop (tested).
-            frames_host = [self._load(p) for p in ds.frames]
-            bar.progress(len(frames_host), len(frames_host))
+            # Stacked transfer + frame-batched kernel launch: the (wc, nw)
+            # accumulators stay VMEM-resident across the frame axis instead
+            # of paying a dispatch + fence + partials round-trip per frame.
+            # Exact same partials as the streamed loop (tested). Memory guard
+            # (round-2 ADVICE): stacking a long 4K sequence whole multiplies
+            # peak host+HBM memory by the frame count, so the stack is
+            # chunked at ~1.5 GB; each chunk still batches its frames in one
+            # launch and chunk partials add exactly.
+            n = len(ds.frames)
+            h_t, w_t, _ = target_dev.shape
+            frame_bytes = h_t * w_t * 4 * 4
+            chunk = max(1, min(n, int(1.5e9 // max(1, frame_bytes))))
+            total_wc = total_nw = None
+            for start_i in range(0, n, chunk):
+                frames_host = [
+                    self._load(p) for p in ds.frames[start_i : start_i + chunk]
+                ]
+                bar.progress(min(start_i + chunk, n), n)
+                all_uniform = fast_ok and all(
+                    f[..., 3].min() == f[..., 3].max() for f in frames_host
+                )
+                bmodel = model_fast if all_uniform else model
+                with report.transfer():
+                    frames_dev = jax.device_put(np.stack(frames_host))
+                    jax.block_until_ready(frames_dev)
+                if self.warmup and start_i == 0:
+                    warm = bmodel.accumulate(target_dev, frames_dev)
+                    _fence(bmodel.finalize(warm))
+                with report.execute():
+                    wc, nw = bmodel.accumulate(target_dev, frames_dev)
+                    if total_wc is None:
+                        total_wc, total_nw = wc, nw
+                    else:
+                        total_wc = total_wc + wc
+                        total_nw = total_nw + nw
+                    _fence(total_nw)
             bar.finish()
-            all_uniform = fast_ok and all(
-                f[..., 3].min() == f[..., 3].max() for f in frames_host
-            )
-            bmodel = model_fast if all_uniform else model
-            with report.transfer():
-                frames_dev = jax.device_put(np.stack(frames_host))
-                jax.block_until_ready(frames_dev)
-            if self.warmup:
-                warm = bmodel.accumulate(target_dev, frames_dev)
-                _fence(bmodel.finalize(warm))
             with report.execute():
-                wc, nw = bmodel.accumulate(target_dev, frames_dev)
                 if self.debug_weights:
-                    self._dump_weights(wc, nw)
-                out = bmodel.finalize((wc, nw))
+                    self._dump_weights(total_wc, total_nw)
+                out = model.finalize((total_wc, total_nw))
                 _fence(out)
             return out
         else:
@@ -532,7 +551,7 @@ class Session:
                 _fence(out)
         return out
 
-    def run_turbo(self, cfg: RunConfig, levels: int = 8, downsample: int = 2) -> RunResult:
+    def run_turbo(self, cfg: RunConfig, levels: int = 6, downsample: int = 2) -> RunResult:
         """Approximate bilateral-grid mode for the bilateral and layers
         configs (opt-in; ~49 dB vs the exact kernel at downsample=2, ~45 dB
         at 4 -- see ops/fast.py). Writes the same flag-encoded output name."""

@@ -1,0 +1,139 @@
+"""High-resolution device timing through the tunneled backend.
+
+The reference reads per-dispatch device time from Vulkan timestamp queries
+(src/main.cpp:1095-1102); nothing similar is exposed through this tunnel, and
+every host fence costs ~30 ms with several ms of jitter (block_until_ready
+does not even fence -- see CLAUDE.md).  The only trustworthy device timing is
+the K-chain slope: jit ONE program that applies the kernel K times in a
+data-dependent fori_loop, time it for several K values, and fit
+time(K) = a + b*K by least squares.  The roundtrip and dispatch overheads land
+in `a`; `b` is pure device time per application.
+
+This module is the single shared implementation (bench.py and tools/ use it)
+so resolution fixes land everywhere at once.  Resolution: with ks=(1, 8, 32)
+and 5 repeats per k, the slope resolves ~1.5 ms pipelines to <10% run-to-run
+spread (measured, docs/PERFORMANCE.md round-3 timing section); sub-0.5 ms
+pipelines need ks up to 64+.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class SlopeFit:
+    """Least-squares fit of time(K) = intercept + slope*K."""
+
+    slope: float  # seconds per chained application (the device time)
+    intercept: float  # host roundtrip + dispatch overhead
+    spread: float  # relative spread of per-k repeat medians around the fit
+    samples: dict  # k -> list of wall times (seconds)
+
+    def mpix_s(self, n_pixels: int) -> float:
+        return n_pixels / self.slope / 1e6
+
+
+def _chain_program(fn: Callable, x0, extra, refeed: bool) -> Callable:
+    """One jitted program applying fn k times, sequential by construction.
+
+    refeed=True re-feeds the ORIGINAL content every application (one corner
+    element carries the data dependence; the in-place dynamic-update keeps
+    the rest of the buffer untouched). Required for content-dependent
+    kernels (per-tile level culling!): chaining outputs would measure
+    progressively smoother frames and overstate throughput. refeed=False
+    chains outputs directly (data-independent kernels, matched shapes)."""
+
+    @jax.jit
+    def run(k, x, *e):
+        if refeed:
+            idx = (0,) * x.ndim
+            corner = jax.lax.dynamic_slice(x, idx, (1,) * x.ndim)
+
+            def body(i, carry):
+                out = fn(carry, *e)
+                poke = corner + (jnp.sum(out.ravel()[:1]) * 1e-30).astype(
+                    x.dtype
+                )
+                return jax.lax.dynamic_update_slice(carry, poke, idx)
+
+        else:
+
+            def body(i, v):
+                out = fn(v, *e)
+                if out.shape == x.shape and out.dtype == x.dtype:
+                    return out
+                # Keep the carry type closed but data-dependent on `out` so
+                # the loop cannot be folded or reordered.
+                return v + (jnp.sum(out.ravel()[:1]) * 1e-30).astype(x.dtype)
+
+        out = jax.lax.fori_loop(0, k, body, x)
+        return jnp.sum(out.ravel()[:1])
+
+    return run
+
+
+def slope_time(
+    fn: Callable,
+    x0,
+    *extra,
+    ks: Sequence[int] = (1, 8, 32),
+    repeats: int = 5,
+    refeed: bool = True,
+) -> SlopeFit:
+    """Fit per-application device time for `fn` by the K-chain slope method.
+
+    fn(x, *extra) must be jit-traceable; x0 is both the seed carry and the
+    shape/dtype of the loop state. `k` is a DYNAMIC argument to one compiled
+    program, so adding k values costs no extra compiles. refeed (default)
+    re-feeds the original content every chained application -- see
+    _chain_program; pass refeed=False only for kernels whose cost is provably
+    content-independent AND whose output matches the input shape.
+    """
+    run = _chain_program(fn, x0, extra, refeed)
+
+    # Compile once (k dynamic) and warm the path. float() fences for real
+    # through the tunnel (block_until_ready does not).
+    float(run(max(ks), x0, *extra))
+
+    samples: dict[int, list[float]] = {k: [] for k in ks}
+    for _ in range(repeats):
+        for k in ks:  # interleave so drift spreads evenly across k values
+            t0 = time.perf_counter()
+            float(run(k, x0, *extra))
+            samples[k].append(time.perf_counter() - t0)
+
+    meds = {k: sorted(v)[len(v) // 2] for k, v in samples.items()}
+    n = len(ks)
+    sx = sum(ks)
+    sy = sum(meds.values())
+    sxx = sum(k * k for k in ks)
+    sxy = sum(k * meds[k] for k in ks)
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / denom
+    intercept = (sy - slope * sx) / n
+    resid = [meds[k] - (intercept + slope * k) for k in ks]
+    scale = max(slope * max(ks), 1e-12)
+    spread = math.sqrt(sum(r * r for r in resid) / n) / scale
+    return SlopeFit(
+        slope=max(slope, 1e-9), intercept=intercept, spread=spread, samples=samples
+    )
+
+
+def measure_mpix(
+    fn: Callable,
+    x0,
+    *extra,
+    n_pixels: int,
+    ks=(1, 8, 32),
+    repeats: int = 5,
+    refeed: bool = True,
+) -> tuple[float, SlopeFit]:
+    fit = slope_time(fn, x0, *extra, ks=ks, repeats=repeats, refeed=refeed)
+    return fit.mpix_s(n_pixels), fit

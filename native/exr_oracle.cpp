@@ -64,9 +64,11 @@ int main(int argc, char** argv) {
     return 0;
   }
   if (!std::strcmp(argv[1], "writetiled")) {
-    // Tiled single-part image: ONE_LEVEL or MIPMAP_LEVELS. Level 0 carries
-    // the stdin image; mip levels are decimated copies (our decoder reads
-    // only level (0, 0) -- the full-resolution image, like tinyexr).
+    // Tiled single-part image: mip = 0 ONE_LEVEL, 1 MIPMAP_LEVELS,
+    // 2 RIPMAP_LEVELS. Level (0, 0) carries the stdin image; other levels
+    // are decimated copies (our decoder reads only level (0, 0) -- the
+    // full-resolution image, like tinyexr -- but must parse every level's
+    // offset-table entries to find it).
     if (argc != 9) return 2;
     const char* path = argv[2];
     int w = std::atoi(argv[3]), h = std::atoi(argv[4]);
@@ -77,29 +79,31 @@ int main(int argc, char** argv) {
     if (std::fread(buf.data(), 4, buf.size(), stdin) != buf.size()) return 3;
     Header hdr(w, h);
     hdr.compression() = (Compression)comp;
-    hdr.setTileDescription(
-        TileDescription(txs, tys, mip ? MIPMAP_LEVELS : ONE_LEVEL, ROUND_DOWN));
+    LevelMode lm = mip == 2 ? RIPMAP_LEVELS : (mip ? MIPMAP_LEVELS : ONE_LEVEL);
+    hdr.setTileDescription(TileDescription(txs, tys, lm, ROUND_DOWN));
     const char* names[4] = {"R", "G", "B", "A"};
     for (int c = 0; c < 4; ++c)
       hdr.channels().insert(names[c], Channel(Imf::FLOAT));
     TiledOutputFile f(path, hdr);
-    for (int lvl = 0; lvl < f.numLevels(); ++lvl) {
-      int lw = f.levelWidth(lvl), lh = f.levelHeight(lvl);
-      std::vector<float> lbuf(4ull * lw * lh);
-      int sx = w / lw, sy = h / lh;
-      for (int y = 0; y < lh; ++y)
-        for (int x = 0; x < lw; ++x)
-          std::memcpy(&lbuf[4ull * (y * (size_t)lw + x)],
-                      &buf[4ull * ((size_t)y * sy * w + (size_t)x * sx)],
-                      4 * sizeof(float));
-      FrameBuffer fb;
-      for (int c = 0; c < 4; ++c)
-        fb.insert(names[c],
-                  Slice(Imf::FLOAT, (char*)(lbuf.data() + c),
-                        4 * sizeof(float), 4 * sizeof(float) * (size_t)lw));
-      f.setFrameBuffer(fb);
-      f.writeTiles(0, f.numXTiles(lvl) - 1, 0, f.numYTiles(lvl) - 1, lvl);
-    }
+    for (int ly = 0; ly < f.numYLevels(); ++ly)
+      for (int lx = 0; lx < f.numXLevels(); ++lx) {
+        if (lm != RIPMAP_LEVELS && lx != ly) continue;  // diagonal only
+        int lw = f.levelWidth(lx), lh = f.levelHeight(ly);
+        std::vector<float> lbuf(4ull * lw * lh);
+        int sx = w / lw, sy = h / lh;
+        for (int y = 0; y < lh; ++y)
+          for (int x = 0; x < lw; ++x)
+            std::memcpy(&lbuf[4ull * (y * (size_t)lw + x)],
+                        &buf[4ull * ((size_t)y * sy * w + (size_t)x * sx)],
+                        4 * sizeof(float));
+        FrameBuffer fb;
+        for (int c = 0; c < 4; ++c)
+          fb.insert(names[c],
+                    Slice(Imf::FLOAT, (char*)(lbuf.data() + c),
+                          4 * sizeof(float), 4 * sizeof(float) * (size_t)lw));
+        f.setFrameBuffer(fb);
+        f.writeTiles(0, f.numXTiles(lx) - 1, 0, f.numYTiles(ly) - 1, lx, ly);
+      }
     return 0;
   }
   if (!std::strcmp(argv[1], "read")) {

@@ -205,17 +205,30 @@ def test_turbo_layers_session_and_cli(tmp_path):
 
 
 @pytest.mark.parametrize("hw", [(50, 300), (97, 131)])
-def test_turbo_odd_shapes(rng, hw):
+@pytest.mark.parametrize("d", [2, 4])
+def test_turbo_odd_shapes(rng, hw, d):
     """Odd, non-tile-aligned shapes go through the clamped tile selection
     (tile_w rounded to 128*d multiples so the grid-slab DMA stays provably
-    aligned); output must stay finite and close to the exact kernel."""
+    aligned); output must stay finite and close to the exact kernel.
+
+    Calls the Pallas grid pipeline DIRECTLY (interpret mode on CPU) so the
+    clamp logic in _grid_pipeline_planar is what this test runs -- the public
+    bilateral_fast entry takes the pure-JAX lattice path off-TPU and would
+    let a tile-selection regression slip through (round-2 ADVICE.md)."""
+    import jax.numpy as jnp
+
+    from image_denoising_filter_tpu.ops import fast
+
     h, w = hw
     clean, noisy = _scene(rng, h=h, w=w)
     bp = BilateralParams()
-    got = np.asarray(bilateral_fast(noisy, bp, 8, 2))
+    planar = jnp.transpose(jnp.asarray(noisy), (2, 0, 1))
+    got = np.transpose(
+        np.asarray(fast._grid_pipeline_planar(planar, bp, 8, d)), (1, 2, 0)
+    )
     assert got.shape == (h, w, 4) and np.isfinite(got).all()
     from image_denoising_filter_tpu.ops import bilateral
 
     exact = np.asarray(bilateral(noisy, bp))
     db = ref.psnr(got[..., :3], exact[..., :3])
-    assert db >= 35.0, f"odd-shape turbo vs exact: {db:.1f} dB"
+    assert db >= 35.0, f"odd-shape turbo d={d} vs exact: {db:.1f} dB"

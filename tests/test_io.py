@@ -194,11 +194,13 @@ def test_exr_zip_matches_system_openexr(tmp_path, rng):
 
 @pytest.mark.skipif(not os.path.exists(_ORACLE), reason="make -C native oracle")
 @pytest.mark.parametrize("comp", [0, 3, 4], ids=["none", "zip", "piz"])
-@pytest.mark.parametrize("mip", [0, 1], ids=["one_level", "mipmap"])
+@pytest.mark.parametrize("mip", [0, 1, 2], ids=["one_level", "mipmap", "ripmap"])
 def test_exr_tiled_decode_matches_system_openexr(tmp_path, rng, comp, mip):
     """Tiled single-part EXR decode (tinyexr's loader accepts these): tiles of
-    several shapes, partial edge tiles, ONE_LEVEL and MIPMAP (only level (0,0)
-    feeds the image, like tinyexr)."""
+    several shapes, partial edge tiles, ONE_LEVEL / MIPMAP / RIPMAP (only
+    level (0,0) feeds the image, like tinyexr, but the RIPMAP offset-table
+    level-pair enumeration must be walked correctly to find it -- round-2
+    ADVICE)."""
     import subprocess
 
     for (h, w), (txs, tys) in [((40, 56), (16, 16)), ((33, 17), (32, 8)),

@@ -97,7 +97,7 @@ def test_sharded_session_turbo(tmp_path):
     lmax = jnp.max(rgb, axis=(1, 2))
     step = jnp.maximum(lmax - lmin, 1e-6) / 7
     want = np.transpose(
-        np.asarray(fast._grid_pipeline_planar(planar, lmin, step, bp, 8, 2)),
+        np.asarray(fast._grid_pipeline_planar(planar, bp, 8, 2)),
         (1, 2, 0),
     )[:50]
     # ~1 ulp: MXU tree-reduction grouping in the build kernel's blur matmuls

@@ -57,11 +57,13 @@ def test_spatial_bilateral_zero_border():
 def test_spatial_bilateral_fast_matches_single_device(n_y, d):
     """Sharded TURBO must match the single-device fused grid pipeline to
     float32 ulps: the seam grid cells blur over real neighbor cells and the
-    slice reads one real grid row from each neighbor. Equality is ~1 ulp, not
-    bitwise: the build kernel's banded blur matmuls reduce on the MXU, whose
-    tree-reduction grouping shifts with the tap band's position inside the
-    contraction axis, and shard tiles place the same logical row at different
-    offsets."""
+    slice reads one real grid row from each neighbor. Equality is ~1 bf16
+    ulp, not bitwise: the grid is STORED bf16, and the build kernel's banded
+    blur matmuls reduce on the MXU, whose tree-reduction grouping shifts with
+    the tap band's position inside the contraction axis (shard tiles place
+    the same logical row at different offsets) -- an f32-ulp shift that lands
+    on a bf16 rounding boundary flips the stored value by one bf16 ulp
+    (~1e-3 relative; same contract as the layers test below)."""
     import jax.numpy as jnp
 
     from image_denoising_filter_tpu.ops import fast
@@ -81,11 +83,11 @@ def test_spatial_bilateral_fast_matches_single_device(n_y, d):
     step = jnp.maximum(lmax - lmin, 1e-6) / (levels - 1)
     want = np.transpose(
         np.asarray(
-            fast._grid_pipeline_planar(planar, lmin, step, params, levels, d)
+            fast._grid_pipeline_planar(planar, params, levels, d)
         ),
         (1, 2, 0),
     )
-    np.testing.assert_allclose(got, want, rtol=3e-6, atol=3e-7)
+    np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-4)
 
 
 def test_spatial_bilateral_fast_zero_border():
@@ -104,10 +106,10 @@ def test_spatial_bilateral_fast_zero_border():
     lmax = jnp.max(rgb, axis=(1, 2))
     step = jnp.maximum(lmax - lmin, 1e-6) / 7
     want = np.transpose(
-        np.asarray(fast._grid_pipeline_planar(planar, lmin, step, params, 8, 2)),
+        np.asarray(fast._grid_pipeline_planar(planar, params, 8, 2)),
         (1, 2, 0),
     )
-    np.testing.assert_allclose(got, want, rtol=3e-6, atol=3e-7)
+    np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-4)
 
 
 def test_spatial_nlm_matches_oracle():
@@ -185,6 +187,31 @@ def test_temporal_nlm_sharded_full(mesh_shape):
     wc = np.zeros(target.shape, np.float32)
     nw = np.zeros(target.shape[:2], np.float32)
     for f in frames:
+        pwc, pnw = ref.nlm_reference(target, f, NP_)
+        wc += pwc
+        nw += pnw
+    want = ref.normalize_reference(wc, nw)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_temporal_nlm_sharded_valid_mask():
+    """Padding frames (valid=0) contribute neither weights nor norm seed in
+    the frame-batched sharded path: a 5-frame run padded to 8 must equal the
+    unpadded 5-frame sequential loop."""
+    import jax.numpy as jnp
+
+    mesh = make_mesh((4, 2))
+    target = _frame(0)
+    real = [_frame(20 + i) for i in range(5)]
+    frames = np.stack(real + [np.zeros_like(real[0])] * 3)
+    valid = jnp.asarray([1.0] * 5 + [0.0] * 3)
+    got = np.asarray(
+        temporal_nlm_sharded(target, frames, NP_, mesh=mesh, valid=valid)
+    )
+
+    wc = np.zeros(target.shape, np.float32)
+    nw = np.zeros(target.shape[:2], np.float32)
+    for f in real:
         pwc, pnw = ref.nlm_reference(target, f, NP_)
         wc += pwc
         nw += pnw
