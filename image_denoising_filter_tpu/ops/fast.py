@@ -274,8 +274,9 @@ def _grid_pipeline_planar(
     params: BilateralParams,
     levels: int,
     d: int,
-    tile_h: int = 128,
-    tile_w: int = 1024,  # round-2 sweep: 128x1024 at 4K (d=4: +40% over 512)
+    tile_h: int | None = None,
+    tile_w: int = 1024,  # round-3 sweep: 256x1024 at 4K (2048-wide tiles hit
+    #                      the compile-service size limit, HTTP 500)
 ) -> jnp.ndarray:
     """The fused Pallas grid pipeline: pool -> build grid -> slice.
 
@@ -284,6 +285,10 @@ def _grid_pipeline_planar(
     slice kernels per shard, and so tests can exercise the Pallas path in
     interpret mode on the CPU backend."""
     _, h, w = planar.shape
+    if tile_h is None:
+        # Round-3 4K sweep: 256 rows beat 128 by ~15%% at d=2/4; d=8 peaks
+        # at 384 (smaller grid slabs leave VMEM headroom for taller tiles).
+        tile_h = 384 if d >= 8 else 256
     # Clamp the slice tile to the image: small inputs (tests, shards) must
     # not pad up to the 4K-optimal tile. Floors keep the slab DMA provably
     # aligned: gws = tile_w/d must be a 128-multiple and ghs = tile_h/d a
@@ -361,8 +366,8 @@ def _slice_grid_pallas(
     inv_step: jnp.ndarray,  # (3,)
     levels: int,
     d: int,
-    tile_h: int = 128,
-    tile_w: int = 1024,  # round-2 sweep: 128x1024 at 4K (d=4: +40% over 512)
+    tile_h: int = 256,
+    tile_w: int = 1024,  # round-3 sweep: 256x1024 at 4K
     uniform_alpha: bool = False,
     alpha_val: jnp.ndarray | None = None,  # scalar; required if uniform_alpha
 ):
@@ -443,41 +448,55 @@ def _slice_grid_pallas(
             red = ts
         tmins = [jnp.min(t) for t in red]
         tmaxs = [jnp.max(t) for t in red]
-        n_acc = 3 if uniform_alpha else 4
-        for c in range(n_acc):
-            acc[c] = jnp.zeros((tile_h, tile_w), jnp.float32)
         cp.wait()
         um = u_ref[:]
         vm = v_ref[:]
-        for k in range(levels):
+
+        def upsample(plane):
+            # Single-pass bf16 matmuls: the banded weights are exact in bf16
+            # and the ~1e-3 rounding on grid values is far inside the turbo
+            # approximation budget.
+            cell = slab[plane, 0 : ghs + 2, 0 : gws + 2]
+            return jnp.dot(
+                vm,
+                jnp.dot(cell, um, preferred_element_type=jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+
+        def up_delta(k, c):
+            # Level delta at GRID resolution (upsampling is linear, so
+            # up(g_{k+1}) - up(g_k) == up(g_{k+1} - g_k) -- one matmul).
+            dcell = (
+                slab[(k + 1) * nc + c, 0 : ghs + 2, 0 : gws + 2]
+                - slab[k * nc + c, 0 : ghs + 2, 0 : gws + 2]
+            )
+            return jnp.dot(
+                vm,
+                jnp.dot(dcell, um, preferred_element_type=jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+
+        # Telescoped tent interpolation: sum_k tent_k(t) g_k == g_0 +
+        # sum_{k<K-1} clamp(t-k, 0, 1) (g_{k+1} - g_k) for t in [0, K-1]
+        # (exactly -- the tent sum is piecewise linear and both sides agree
+        # on every segment). One ramp is 3 VPU ops vs the tent's 5, and the
+        # per-tile culling gets sharper: a level ramp is identically 0 when
+        # tmax <= k (skip entirely) and identically 1 when tmin >= k+1 (add
+        # the delta unramped).
+        for c in range(3):
+            acc[c] = upsample(c)  # base plane g_0
+            if not uniform_alpha and c == 1:
+                acc[3] = upsample(3)
+        for k in range(levels - 1):
             for c in range(3):
 
-                @pl.when((tmins[c] < k + 1) & (tmaxs[c] > k - 1))
-                def _level_channel(k=k, c=c):
-                    cell = slab[k * nc + c, 0 : ghs + 2, 0 : gws + 2]
-                    # Single-pass bf16 matmuls: the banded weights are exact
-                    # in bf16 and the ~1e-3 rounding on grid values is far
-                    # inside the turbo approximation budget.
-                    up = jnp.dot(
-                        vm,
-                        jnp.dot(cell, um, preferred_element_type=jnp.float32),
-                        preferred_element_type=jnp.float32,
-                    )
-                    # max-form tent: 1 - |t-k| never exceeds 1, so the upper
-                    # clip is free.
-                    tent = jnp.maximum(1.0 - jnp.abs(ts[c] - k), 0.0)
-                    acc[c] += tent * up
+                @pl.when(tmaxs[c] > k)  # ramp identically 0 once tmax <= k
+                def _ramp(k=k, c=c):
+                    ramp = jnp.clip(ts[c] - k, 0.0, 1.0)
+                    acc[c] += ramp * up_delta(k, c)
                     if not uniform_alpha and c == 1:
-                        # alpha rides green: same tent, same culling window.
-                        cell_a = slab[k * nc + 3, 0 : ghs + 2, 0 : gws + 2]
-                        up_a = jnp.dot(
-                            vm,
-                            jnp.dot(
-                                cell_a, um, preferred_element_type=jnp.float32
-                            ),
-                            preferred_element_type=jnp.float32,
-                        )
-                        acc[3] += tent * up_a
+                        # alpha rides green: same ramp, same culling window.
+                        acc[3] += ramp * up_delta(k, 3)
 
         for c in range(3):
             out_ref[c] = acc[c]
@@ -760,8 +779,8 @@ def _slice_guided_grid_pallas(
     inv_step: jnp.ndarray,
     levels: int,
     d: int,
-    tile_h: int = 128,
-    tile_w: int = 1024,  # round-2 sweep: 128x1024 at 4K (d=4: +40% over 512)
+    tile_h: int = 256,
+    tile_w: int = 1024,  # round-3 sweep: 256x1024 at 4K
 ):
     """Tent-interpolate the unnormalized guided grid at full resolution:
     returns (7, H, W) = [wc_r wc_g wc_b wc_a nw_r nw_g nw_b] partials."""
@@ -912,7 +931,7 @@ def cross_bilateral_layers_fast(
 
     # Same clamp + alignment floors as _grid_pipeline_planar; unpadded
     # guide/out (ragged boundary blocks are masked in the kernel).
-    tile_h = max(16 * d, min(128, _round_up(h, 16 * d)))
+    tile_h = max(16 * d, min(384 if d >= 8 else 256, _round_up(h, 16 * d)))
     tile_w = max(128 * d, min(1024, _round_up(w, 128 * d)))
     planes = _slice_guided_grid_pallas(
         l_rgb, grid, lmin, 1.0 / step, levels, d, tile_h, tile_w

@@ -233,7 +233,9 @@ def spatial_bilateral_fast(
     # Clamp slice tiles to the local shard (short shards / test images must
     # not pad up to the 4K-optimal tile); alignment floors as in
     # ops.fast._grid_pipeline_planar (gws 128-multiple, ghs 16-multiple).
-    tile_h = max(16 * d, min(128, -(-rows // (16 * d)) * 16 * d))
+    tile_h = max(
+        16 * d, min(384 if d >= 8 else 256, -(-rows // (16 * d)) * 16 * d)
+    )
     tile_w = max(128 * d, min(1024, -(-w // (128 * d)) * 128 * d))
 
     @functools.partial(
@@ -504,7 +506,9 @@ def spatial_cross_bilateral_layers_fast(
     # Clamp slice tiles to the local shard (short shards / test images must
     # not pad up to the 4K-optimal tile); alignment floors as in
     # ops.fast._grid_pipeline_planar (gws 128-multiple, ghs 16-multiple).
-    tile_h = max(16 * d, min(128, -(-rows // (16 * d)) * 16 * d))
+    tile_h = max(
+        16 * d, min(384 if d >= 8 else 256, -(-rows // (16 * d)) * 16 * d)
+    )
     tile_w = max(128 * d, min(1024, -(-w // (128 * d)) * 128 * d))
 
     @functools.partial(

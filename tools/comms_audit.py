@@ -83,12 +83,12 @@ def audit(fn, *args, label: str):
         line = line.strip()
         for kind in _COLLECTIVES:
             # match e.g.:  %cp = f32[13,128,4] collective-permute(...)
-            if re.search(rf"= ?[a-z0-9]+\[[0-9,]*\][^=]* {kind}\(", line) or (
-                f" {kind}(" in line and "=" in line
-            ):
-                shape = line.split("=", 1)[1].strip().split(" ")[0]
-                b = _shape_bytes(shape)
-                k = (kind, shape.split("{")[0])
+            # or tuple results:  %ar = (f32[84,256,4], f32[84,256]) all-reduce(...)
+            if f" {kind}(" in line and "=" in line:
+                result = line.split("=", 1)[1].split(f" {kind}(", 1)[0]
+                shapes = re.findall(r"[a-z0-9]+\[[0-9,]*\]", result)
+                b = sum(_shape_bytes(s) for s in shapes)
+                k = (kind, "+".join(s for s in shapes))
                 cnt, tot = rows.get(k, (0, 0))
                 rows[k] = (cnt + 1, tot + b)
                 break

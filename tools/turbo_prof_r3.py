@@ -43,7 +43,7 @@ def main():
     def t(label, fn, x0, *extra, ks=(1, 8, 32)):
         fit = chiptime.slope_time(fn, x0, *extra, ks=ks, repeats=4)
         print(
-            f"{label:24s} {fit.slope*1e3:8.3f} ms  {px/(fit.slope*1e3):8.1f} "
+            f"{label:24s} {fit.slope*1e3:8.3f} ms  {px/fit.slope:8.0f} "
             f"Mpix/s  (spread {fit.spread:.1%})",
             flush=True,
         )
