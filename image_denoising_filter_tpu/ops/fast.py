@@ -833,8 +833,6 @@ def _slice_guided_grid_pallas(
             red = ts
         tmins = [jnp.min(t) for t in red]
         tmaxs = [jnp.max(t) for t in red]
-        for p_idx in range(7):
-            acc[p_idx] = jnp.zeros((tile_h, tile_w), jnp.float32)
         cp.wait()
         um = u_ref[:]
         vm = v_ref[:]
@@ -847,16 +845,33 @@ def _slice_guided_grid_pallas(
                 preferred_element_type=jnp.float32,
             )
 
-        for k in range(levels):
+        def up_delta(k, plane):
+            dcell = (
+                slab[7 * (k + 1) + plane, 0 : ghs + 2, 0 : gws + 2]
+                - slab[7 * k + plane, 0 : ghs + 2, 0 : gws + 2]
+            )
+            return jnp.dot(
+                vm,
+                jnp.dot(dcell, um, preferred_element_type=jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+
+        # Telescoped ramp-delta interpolation (see _slice_grid_pallas).
+        for c in range(3):
+            acc[c] = upsample(c)  # num_c base
+            acc[4 + c] = upsample(4 + c)  # den_c base
+            if c == 1:
+                acc[3] = upsample(3)  # num_a base
+        for k in range(levels - 1):
             for c in range(3):
 
-                @pl.when((tmins[c] < k + 1) & (tmaxs[c] > k - 1))
-                def _level_channel(k=k, c=c):
-                    tent = jnp.maximum(1.0 - jnp.abs(ts[c] - k), 0.0)
-                    acc[c] += tent * upsample(7 * k + c)  # num_c
-                    acc[4 + c] += tent * upsample(7 * k + 4 + c)  # den_c
-                    if c == 1:  # alpha num rides green's tent + culling
-                        acc[3] += tent * upsample(7 * k + 3)
+                @pl.when(tmaxs[c] > k)
+                def _ramp(k=k, c=c):
+                    ramp = jnp.clip(ts[c] - k, 0.0, 1.0)
+                    acc[c] += ramp * up_delta(k, c)  # num_c
+                    acc[4 + c] += ramp * up_delta(k, 4 + c)  # den_c
+                    if c == 1:  # alpha num rides green's ramp + culling
+                        acc[3] += ramp * up_delta(k, 3)
 
         for p_idx in range(7):
             out_ref[p_idx] = acc[p_idx]

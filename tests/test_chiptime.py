@@ -1,0 +1,62 @@
+"""Unit tests for the chiptime slope-timing harness (utils/chiptime.py).
+
+The refeed chain is load-bearing for benchmark HONESTY: the turbo slice
+kernel culls intensity levels per tile, so chaining outputs would measure
+progressively smoothed frames and overstate throughput. These tests pin the
+chain semantics on the CPU backend (timing values are meaningless here; the
+chain mechanics are what's under test).
+"""
+
+import numpy as np
+import pytest
+
+from image_denoising_filter_tpu.utils import chiptime
+
+
+def test_carry_chain_applies_fn_k_times():
+    import jax.numpy as jnp
+
+    x0 = jnp.zeros((4, 8, 16), jnp.float32)
+    run = chiptime._chain_program(lambda x: x + 1.0, x0, (), refeed=False)
+    # run returns the corner element of the final carry.
+    assert float(run(5, x0)) == pytest.approx(5.0)
+    assert float(run(1, x0)) == pytest.approx(1.0)
+
+
+def test_refeed_chain_keeps_original_content():
+    import jax.numpy as jnp
+
+    x0 = jnp.full((4, 8, 16), 0.25, jnp.float32)
+    run = chiptime._chain_program(lambda x: x + 1.0, x0, (), refeed=True)
+    # Every chained application must see (numerically) the ORIGINAL content:
+    # the carry's corner is original + sum(out[:1]) * 1e-30 ~= original.
+    assert float(run(7, x0)) == pytest.approx(0.25, abs=1e-6)
+
+
+def test_refeed_chain_is_data_dependent():
+    """The corner poke must depend on each application's output (so the loop
+    cannot be folded): a fn that returns a constant changes nothing, but the
+    dependence path exists -- verified by tracing the jaxpr for a fori_loop."""
+    import jax
+    import jax.numpy as jnp
+
+    x0 = jnp.ones((2, 4, 8), jnp.float32)
+    run = chiptime._chain_program(lambda x: x * 2.0, x0, (), refeed=True)
+    jaxpr = str(jax.make_jaxpr(lambda x: run(3, x))(x0))
+    assert "while" in jaxpr or "scan" in jaxpr  # sequential loop survived
+
+
+def test_slope_fit_mechanics():
+    import jax.numpy as jnp
+
+    x0 = jnp.ones((8, 128), jnp.float32)
+    fit = chiptime.slope_time(
+        lambda x: x * 1.0001, x0, ks=(1, 2, 4), repeats=2
+    )
+    assert fit.slope > 0
+    assert set(fit.samples) == {1, 2, 4}
+    assert all(len(v) == 2 for v in fit.samples.values())
+    mpix, fit2 = chiptime.measure_mpix(
+        lambda x: x * 1.0001, x0, n_pixels=8 * 128, ks=(1, 2), repeats=1
+    )
+    assert mpix > 0
