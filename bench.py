@@ -134,6 +134,7 @@ def main() -> None:
     exact_4k = np.asarray(bilateral(render, bp))[..., :3]
 
     gates = {}
+    gate_ok = {}
     for d, K in TURBO_SETTINGS:
         db_small = ref.psnr(
             np.asarray(bilateral_fast(nz_d, bp, K, d))[..., :3], exact_small
@@ -142,9 +143,7 @@ def main() -> None:
             np.asarray(bilateral_fast(render, bp, K, d))[..., :3], exact_4k
         )
         gates[d] = (db_small, db_4k)
-        if min(db_small, db_4k) < GATE_DB:
-            turbo[("render", d)] = 0.0
-            turbo[("noise", d)] = 0.0
+        gate_ok[d] = min(db_small, db_4k) >= GATE_DB
 
     exact_n_small = np.asarray(normalize(*nlm_accumulate(nz_d, nz2_d, nlp)))
     db_nt = ref.psnr(
@@ -212,8 +211,12 @@ def main() -> None:
     # caps any EXACT 1681-tap bilateral at ~128 Mpix/s and exact NLM at ~220
     # (docs/PERFORMANCE.md); both exact kernels run at >80% of those
     # ceilings.
-    best_turbo_render = max(turbo[("render", d)] for d, _ in TURBO_SETTINGS)
-    best_turbo_noise = max(turbo[("noise", d)] for d, _ in TURBO_SETTINGS)
+    # Only gate-passing settings may carry the headline geomean; the raw
+    # throughput of gate-failing settings is still published (with its
+    # measured dB and gate_ok=false) rather than silently zeroed.
+    gated = [d for d, _ in TURBO_SETTINGS if gate_ok[d]]
+    best_turbo_render = max((turbo[("render", d)] for d in gated), default=0.0)
+    best_turbo_noise = max((turbo[("noise", d)] for d in gated), default=0.0)
     vs_baseline_turbo = math.sqrt(
         (best_turbo_render / 5000.0) * (mpix_nt / 500.0)
     )
@@ -244,6 +247,7 @@ def main() -> None:
         out[f"turbo_d{d}_4k_mpix_s_noise"] = round(turbo[("noise", d)], 1)
         out[f"turbo_d{d}_db_vs_exact"] = round(gates[d][0], 1)
         out[f"turbo_d{d}_db_vs_exact_4k"] = round(gates[d][1], 1)
+        out[f"turbo_d{d}_gate_ok"] = gate_ok[d]
     print(json.dumps(out))
 
 

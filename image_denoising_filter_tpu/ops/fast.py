@@ -275,8 +275,8 @@ def _grid_pipeline_planar(
     levels: int,
     d: int,
     tile_h: int | None = None,
-    tile_w: int = 1024,  # round-3 sweep: 256x1024 at 4K (2048-wide tiles hit
-    #                      the compile-service size limit, HTTP 500)
+    tile_w: int | None = None,
+    build_tile: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """The fused Pallas grid pipeline: pool -> build grid -> slice.
 
@@ -289,6 +289,8 @@ def _grid_pipeline_planar(
         # Round-3 4K sweep: 256 rows beat 128 by ~15%% at d=2/4; d=8 peaks
         # at 384 (smaller grid slabs leave VMEM headroom for taller tiles).
         tile_h = 384 if d >= 8 else 256
+    if tile_w is None:
+        tile_w = 1024  # 2048-wide tiles hit the compile-service size limit
     # Clamp the slice tile to the image: small inputs (tests, shards) must
     # not pad up to the 4K-optimal tile. Floors keep the slab DMA provably
     # aligned: gws = tile_w/d must be a 128-multiple and ghs = tile_h/d a
@@ -310,8 +312,18 @@ def _grid_pipeline_planar(
     lmax = jnp.max(small[:3], axis=(1, 2))
     step = jnp.maximum(lmax - lmin, 1e-6) / (levels - 1)
     taps = _grid_taps(params.sigma_spatial, d)
+    bth, btw = build_tile if build_tile is not None else (128, 1024)
     grid_k = _build_grid_pallas(
-        small, lmin, step, levels, taps, params.border, inv2sc, uniform_alpha=ua
+        small,
+        lmin,
+        step,
+        levels,
+        taps,
+        params.border,
+        inv2sc,
+        tile_h=bth,
+        tile_w=btw,
+        uniform_alpha=ua,
     )
     grid_k = jnp.pad(grid_k, ((0, 0), (1, 1), (1, 1)), mode="edge")
     # Uniform alpha: sum(tent_k) == 1 and the grid's alpha payload is the

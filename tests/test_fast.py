@@ -232,3 +232,36 @@ def test_turbo_odd_shapes(rng, hw, d):
     exact = np.asarray(bilateral(noisy, bp))
     db = ref.psnr(got[..., :3], exact[..., :3])
     assert db >= 35.0, f"odd-shape turbo d={d} vs exact: {db:.1f} dB"
+
+
+@pytest.mark.parametrize(
+    "slice_t,build_t", [((256, 256), (128, 256)), ((128, 512), (64, 128))]
+)
+def test_turbo_tile_choice_invariant(rng, slice_t, build_t):
+    """Tile sizes are a pure scheduling choice: any legal (slice, build)
+    tiling must produce identical output (interpret mode is exact f32, so
+    bitwise; on-chip the bf16 matmul regrouping shifts ~1 ulp). Guards the
+    round-3 tile plumbing (tile_w/build_tile kwargs) used by the measured
+    4K defaults and tools/tile_sweep_r3.py."""
+    import jax.numpy as jnp
+
+    from image_denoising_filter_tpu.ops import fast
+
+    clean, noisy = _scene(rng, h=181, w=413)
+    bp = BilateralParams(uniform_alpha=True)
+    noisy = noisy.copy()
+    noisy[..., 3] = 1.0
+    planar = jnp.transpose(jnp.asarray(noisy), (2, 0, 1))
+    base = np.asarray(fast._grid_pipeline_planar(planar, bp, 6, 2))
+    got = np.asarray(
+        fast._grid_pipeline_planar(
+            planar,
+            bp,
+            6,
+            2,
+            tile_h=slice_t[0],
+            tile_w=slice_t[1],
+            build_tile=build_t,
+        )
+    )
+    np.testing.assert_array_equal(got, base)
