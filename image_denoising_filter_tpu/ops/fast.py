@@ -269,6 +269,29 @@ def bilateral_fast_planar(
     return jnp.concatenate([out_rgb, out_a[None]], axis=0)
 
 
+def _default_build_tile(d: int) -> tuple[int, int]:
+    """Build-kernel tile from the round-3 chip sweep (tools/tile_sweep_r3.py).
+
+    Narrower tiles cut the cols-blur band's mostly-zero MXU FLOPs
+    (~2.3 kFLOP/cell at tw=1024 vs ~0.8 k at tw=256): d=2 1716->1925 and
+    d=4 5388->6074 Mpix/s at 4K. d=8's grid is tiny (270x480) and keeps the
+    wide single-slab tile (9156 Mpix/s; every narrower option lost 4-11%)."""
+    if d >= 8:
+        return (128, 1024)
+    if d >= 4:
+        return (64, 256)
+    return (128, 256)
+
+
+def _default_slice_tile(d: int) -> tuple[int, int]:
+    """Slice-kernel tile (th, tw) from the round-3 chip sweep: 256 rows beat
+    128 by ~15% at d=2/4; d=8 peaks at 384 (smaller grid slabs leave VMEM
+    headroom). d=2 prefers tw=512 over 1024 (+3.4%: upsample band FLOPs
+    scale with tile width); wider d keeps 1024 (the gws = tw/d >= 128 DMA
+    floor forbids narrower there anyway)."""
+    return (384 if d >= 8 else 256, 512 if d <= 2 else 1024)
+
+
 def _grid_pipeline_planar(
     planar: jnp.ndarray,  # (4, H, W) float32
     params: BilateralParams,
@@ -285,12 +308,11 @@ def _grid_pipeline_planar(
     slice kernels per shard, and so tests can exercise the Pallas path in
     interpret mode on the CPU backend."""
     _, h, w = planar.shape
+    dth, dtw = _default_slice_tile(d)
     if tile_h is None:
-        # Round-3 4K sweep: 256 rows beat 128 by ~15%% at d=2/4; d=8 peaks
-        # at 384 (smaller grid slabs leave VMEM headroom for taller tiles).
-        tile_h = 384 if d >= 8 else 256
+        tile_h = dth
     if tile_w is None:
-        tile_w = 1024  # 2048-wide tiles hit the compile-service size limit
+        tile_w = dtw  # 2048-wide tiles hit the compile-service size limit
     # Clamp the slice tile to the image: small inputs (tests, shards) must
     # not pad up to the 4K-optimal tile. Floors keep the slab DMA provably
     # aligned: gws = tile_w/d must be a 128-multiple and ghs = tile_h/d a
@@ -312,7 +334,7 @@ def _grid_pipeline_planar(
     lmax = jnp.max(small[:3], axis=(1, 2))
     step = jnp.maximum(lmax - lmin, 1e-6) / (levels - 1)
     taps = _grid_taps(params.sigma_spatial, d)
-    bth, btw = build_tile if build_tile is not None else (128, 1024)
+    bth, btw = build_tile if build_tile is not None else _default_build_tile(d)
     grid_k = _build_grid_pallas(
         small,
         lmin,
@@ -501,14 +523,23 @@ def _slice_grid_pallas(
                 acc[3] = upsample(3)
         for k in range(levels - 1):
             for c in range(3):
-
-                @pl.when(tmaxs[c] > k)  # ramp identically 0 once tmax <= k
+                # Three exact cases per (level, channel), from the tile's
+                # guide range: ramp identically 0 (tmax <= k, skip), ramp
+                # identically 1 (tmin >= k+1, add the delta unramped -- no
+                # clip/multiply VPU work), else the ramped general case.
+                @pl.when((tmaxs[c] > k) & (tmins[c] < k + 1))
                 def _ramp(k=k, c=c):
                     ramp = jnp.clip(ts[c] - k, 0.0, 1.0)
                     acc[c] += ramp * up_delta(k, c)
                     if not uniform_alpha and c == 1:
                         # alpha rides green: same ramp, same culling window.
                         acc[3] += ramp * up_delta(k, 3)
+
+                @pl.when(tmins[c] >= k + 1)  # implies tmax > k
+                def _interior(k=k, c=c):
+                    acc[c] += up_delta(k, c)
+                    if not uniform_alpha and c == 1:
+                        acc[3] += up_delta(k, 3)
 
         for c in range(3):
             out_ref[c] = acc[c]
@@ -876,14 +907,21 @@ def _slice_guided_grid_pallas(
                 acc[3] = upsample(3)  # num_a base
         for k in range(levels - 1):
             for c in range(3):
-
-                @pl.when(tmaxs[c] > k)
+                # Same three-way ramp split as _slice_grid_pallas.
+                @pl.when((tmaxs[c] > k) & (tmins[c] < k + 1))
                 def _ramp(k=k, c=c):
                     ramp = jnp.clip(ts[c] - k, 0.0, 1.0)
                     acc[c] += ramp * up_delta(k, c)  # num_c
                     acc[4 + c] += ramp * up_delta(k, 4 + c)  # den_c
                     if c == 1:  # alpha num rides green's ramp + culling
                         acc[3] += ramp * up_delta(k, 3)
+
+                @pl.when(tmins[c] >= k + 1)  # implies tmax > k
+                def _interior(k=k, c=c):
+                    acc[c] += up_delta(k, c)
+                    acc[4 + c] += up_delta(k, 4 + c)
+                    if c == 1:
+                        acc[3] += up_delta(k, 3)
 
         for p_idx in range(7):
             out_ref[p_idx] = acc[p_idx]
@@ -951,15 +989,26 @@ def cross_bilateral_layers_fast(
     lmax = jnp.max(small_l[:3], axis=(1, 2))
     step = jnp.maximum(lmax - lmin, 1e-6) / (levels - 1)
     taps = _grid_taps(params.sigma_spatial, d)
+    bth, btw = _default_build_tile(d)
     grid = _build_guided_grid_pallas(
-        small_t, small_l, lmin, step, levels, taps, params.border, inv2sc
+        small_t,
+        small_l,
+        lmin,
+        step,
+        levels,
+        taps,
+        params.border,
+        inv2sc,
+        tile_h=bth,
+        tile_w=btw,
     )
     grid = jnp.pad(grid, ((0, 0), (1, 1), (1, 1)), mode="edge")
 
     # Same clamp + alignment floors as _grid_pipeline_planar; unpadded
     # guide/out (ragged boundary blocks are masked in the kernel).
-    tile_h = max(16 * d, min(384 if d >= 8 else 256, _round_up(h, 16 * d)))
-    tile_w = max(128 * d, min(1024, _round_up(w, 128 * d)))
+    dth, dtw = _default_slice_tile(d)
+    tile_h = max(16 * d, min(dth, _round_up(h, 16 * d)))
+    tile_w = max(128 * d, min(dtw, _round_up(w, 128 * d)))
     planes = _slice_guided_grid_pallas(
         l_rgb, grid, lmin, 1.0 / step, levels, d, tile_h, tile_w
     )

@@ -233,10 +233,10 @@ def spatial_bilateral_fast(
     # Clamp slice tiles to the local shard (short shards / test images must
     # not pad up to the 4K-optimal tile); alignment floors as in
     # ops.fast._grid_pipeline_planar (gws 128-multiple, ghs 16-multiple).
-    tile_h = max(
-        16 * d, min(384 if d >= 8 else 256, -(-rows // (16 * d)) * 16 * d)
-    )
-    tile_w = max(128 * d, min(1024, -(-w // (128 * d)) * 128 * d))
+    dth, dtw = ops_fast._default_slice_tile(d)
+    tile_h = max(16 * d, min(dth, -(-rows // (16 * d)) * 16 * d))
+    tile_w = max(128 * d, min(dtw, -(-w // (128 * d)) * 128 * d))
+    bth, btw = ops_fast._default_build_tile(d)
 
     @functools.partial(
         jax.shard_map,
@@ -269,6 +269,8 @@ def spatial_bilateral_fast(
             taps,
             params.border,
             inv2sc,
+            tile_h=bth,
+            tile_w=btw,
             uniform_alpha=params.uniform_alpha,
         )
         # Keep grid rows [-1, rows_s+1): real neighbor rows stand in for the
@@ -506,10 +508,10 @@ def spatial_cross_bilateral_layers_fast(
     # Clamp slice tiles to the local shard (short shards / test images must
     # not pad up to the 4K-optimal tile); alignment floors as in
     # ops.fast._grid_pipeline_planar (gws 128-multiple, ghs 16-multiple).
-    tile_h = max(
-        16 * d, min(384 if d >= 8 else 256, -(-rows // (16 * d)) * 16 * d)
-    )
-    tile_w = max(128 * d, min(1024, -(-w // (128 * d)) * 128 * d))
+    dth, dtw = ops_fast._default_slice_tile(d)
+    tile_h = max(16 * d, min(dth, -(-rows // (16 * d)) * 16 * d))
+    tile_w = max(128 * d, min(dtw, -(-w // (128 * d)) * 128 * d))
+    bth, btw = ops_fast._default_build_tile(d)
 
     @functools.partial(
         jax.shard_map,
@@ -535,7 +537,16 @@ def spatial_cross_bilateral_layers_fast(
         small_t_ext = _exchange_halo(small_t, halo_s, params.border, SPATIAL_AXIS, row_axis=1)
         small_l_ext = _exchange_halo(small_l, halo_s, params.border, SPATIAL_AXIS, row_axis=1)
         grid_ext = ops_fast._build_guided_grid_pallas(
-            small_t_ext, small_l_ext, lmin, step, levels, taps, params.border, inv2sc
+            small_t_ext,
+            small_l_ext,
+            lmin,
+            step,
+            levels,
+            taps,
+            params.border,
+            inv2sc,
+            tile_h=bth,
+            tile_w=btw,
         )
         grid_sl = grid_ext[:, halo_s - 1 : halo_s - 1 + rows_s + 2, :]
         idx = jax.lax.axis_index(SPATIAL_AXIS)

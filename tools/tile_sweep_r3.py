@@ -52,13 +52,10 @@ def main() -> None:
         }[d]
         runs = [((th, tw), None) for th, tw in combos]
     else:
-        slice_t = {
-            2: tuple(int(v) for v in sys.argv[3].split("x"))
-            if len(sys.argv) > 3
-            else (256, 256),
-            4: (256, 512),
-            8: (384, 1024),
-        }[d]
+        if len(sys.argv) > 3:
+            slice_t = tuple(int(v) for v in sys.argv[3].split("x"))
+        else:
+            slice_t = {2: (256, 512), 4: (256, 1024), 8: (384, 1024)}[d]
         builds = [(128, 1024), (128, 512), (128, 256), (64, 256), (128, 128)]
         runs = [(slice_t, b) for b in builds]
 
