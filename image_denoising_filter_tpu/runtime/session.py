@@ -554,7 +554,10 @@ class Session:
     def run_turbo(self, cfg: RunConfig, levels: int = 6, downsample: int = 2) -> RunResult:
         """Approximate bilateral-grid mode for the bilateral and layers
         configs (opt-in; ~49 dB vs the exact kernel at downsample=2, ~45 dB
-        at 4 -- see ops/fast.py). Writes the same flag-encoded output name."""
+        at 4 -- see ops/fast.py). Writes the same flag-encoded output name.
+        levels=5 at downsample=4 measures IDENTICAL dB on both bench gate
+        contents and ~5% faster (bench.py's turbo_d4k5 row); the default
+        keeps K=6 for margin on unseen content."""
         assert not cfg.nlm, "turbo NLM runs through run() with search_stride"
         from ..ops.fast import bilateral_fast
 
