@@ -284,12 +284,14 @@ def _default_build_tile(d: int) -> tuple[int, int]:
 
 
 def _default_slice_tile(d: int) -> tuple[int, int]:
-    """Slice-kernel tile (th, tw) from the round-3 chip sweep: 256 rows beat
-    128 by ~15% at d=2/4; d=8 peaks at 384 (smaller grid slabs leave VMEM
-    headroom). d=2 prefers tw=512 over 1024 (+3.4%: upsample band FLOPs
-    scale with tile width); wider d keeps 1024 (the gws = tw/d >= 128 DMA
-    floor forbids narrower there anyway)."""
-    return (384 if d >= 8 else 256, 512 if d <= 2 else 1024)
+    """Slice-kernel tile (th, tw) from the round-3 chip sweeps: 256 rows beat
+    128 by ~15%, and 384 beats 256 by another ~7% at d=4 with the narrow
+    build tile (6,578 vs ~6,150 Mpix/s two-rep A/B; ties on the guided
+    kernel, collapses at 512 -- VMEM pressure); d=2 ties at 384 and keeps
+    256. d=2 prefers tw=512 over 1024 (+3.4%: upsample band FLOPs scale
+    with tile width); wider d keeps 1024 (the gws = tw/d >= 128 DMA floor
+    forbids narrower there anyway)."""
+    return (384 if d >= 4 else 256, 512 if d <= 2 else 1024)
 
 
 def _grid_pipeline_planar(
