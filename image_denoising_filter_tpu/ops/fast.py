@@ -349,7 +349,6 @@ def _grid_pipeline_planar(
         tile_w=btw,
         uniform_alpha=ua,
     )
-    grid_k = jnp.pad(grid_k, ((0, 0), (1, 1), (1, 1)), mode="edge")
     # Uniform alpha: sum(tent_k) == 1 and the grid's alpha payload is the
     # constant itself, so the output alpha plane is just that constant --
     # the kernel skips the whole alpha level sweep (shaders/bialteral.comp:70
@@ -357,7 +356,8 @@ def _grid_pipeline_planar(
     alpha_val = planar[3, 0, 0] if ua else None
     # The slice kernel takes the UNPADDED guide and writes the unpadded
     # output (ragged boundary blocks are masked): no full-res pad/crop
-    # copies.
+    # copies. pad_edge folds the grid's (1, 1) edge pad into the slab
+    # alignment pad -- one grid copy instead of two.
     return _slice_grid_pallas(
         planar[:3],
         grid_k,
@@ -369,6 +369,7 @@ def _grid_pipeline_planar(
         tile_w,
         uniform_alpha=ua,
         alpha_val=alpha_val,
+        pad_edge=True,
     )
 
 
@@ -406,6 +407,10 @@ def _slice_grid_pallas(
     tile_w: int = 1024,  # round-3 sweep: 256x1024 at 4K
     uniform_alpha: bool = False,
     alpha_val: jnp.ndarray | None = None,  # scalar; required if uniform_alpha
+    pad_edge: bool = False,  # True: grid is RAW (hs, ws); fold the (1, 1)
+    # edge pad into the alignment pad (one grid copy instead of two -- at
+    # d=2 the grid is ~74 MB, a whole extra HBM pass). Sharded callers pass
+    # False with their halo-assembled (hs+2, ws+2) grids.
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -430,12 +435,17 @@ def _slice_grid_pallas(
     u_mat = jnp.asarray(_upsample_matrix(d, gws + 2, tile_w)).astype(grid.dtype)
     v_mat = jnp.asarray(_upsample_matrix(d, ghs + 2, tile_h).T).astype(grid.dtype)
 
+    # The padded grid must cover every tile's slab DMA AND keep >= 1 edge
+    # row/col on each side of the raw grid (lead/trail edge replicas).
+    lead = 1 if pad_edge else 0
+    th_tot = max((nh - 1) * ghs + slab_h, grid.shape[1] + 2 * lead)
+    tw_tot = max((nw - 1) * gws + slab_w, grid.shape[2] + 2 * lead)
     grid_p = jnp.pad(
         grid,
         (
             (0, 0),
-            (0, max(0, (nh - 1) * ghs + slab_h - grid.shape[1])),
-            (0, max(0, (nw - 1) * gws + slab_w - grid.shape[2])),
+            (lead, th_tot - grid.shape[1] - lead),
+            (lead, tw_tot - grid.shape[2] - lead),
         ),
         mode="edge",
     )
@@ -826,6 +836,8 @@ def _slice_guided_grid_pallas(
     d: int,
     tile_h: int = 256,
     tile_w: int = 1024,  # round-3 sweep: 256x1024 at 4K
+    pad_edge: bool = False,  # True: grid is RAW; fold the edge pad into the
+    # alignment pad (one grid copy; see _slice_grid_pallas)
 ):
     """Tent-interpolate the unnormalized guided grid at full resolution:
     returns (7, H, W) = [wc_r wc_g wc_b wc_a nw_r nw_g nw_b] partials."""
@@ -843,12 +855,15 @@ def _slice_guided_grid_pallas(
     u_mat = jnp.asarray(_upsample_matrix(d, gws + 2, tile_w)).astype(grid.dtype)
     v_mat = jnp.asarray(_upsample_matrix(d, ghs + 2, tile_h).T).astype(grid.dtype)
 
+    lead = 1 if pad_edge else 0
+    th_tot = max((nh - 1) * ghs + slab_h, grid.shape[1] + 2 * lead)
+    tw_tot = max((nw - 1) * gws + slab_w, grid.shape[2] + 2 * lead)
     grid_p = jnp.pad(
         grid,
         (
             (0, 0),
-            (0, max(0, (nh - 1) * ghs + slab_h - grid.shape[1])),
-            (0, max(0, (nw - 1) * gws + slab_w - grid.shape[2])),
+            (lead, th_tot - grid.shape[1] - lead),
+            (lead, tw_tot - grid.shape[2] - lead),
         ),
         mode="edge",
     )
@@ -1004,15 +1019,16 @@ def cross_bilateral_layers_fast(
         tile_h=bth,
         tile_w=btw,
     )
-    grid = jnp.pad(grid, ((0, 0), (1, 1), (1, 1)), mode="edge")
 
     # Same clamp + alignment floors as _grid_pipeline_planar; unpadded
-    # guide/out (ragged boundary blocks are masked in the kernel).
+    # guide/out (ragged boundary blocks are masked in the kernel); pad_edge
+    # folds the grid edge pad into the slab alignment pad.
     dth, dtw = _default_slice_tile(d)
     tile_h = max(16 * d, min(dth, _round_up(h, 16 * d)))
     tile_w = max(128 * d, min(dtw, _round_up(w, 128 * d)))
     planes = _slice_guided_grid_pallas(
-        l_rgb, grid, lmin, 1.0 / step, levels, d, tile_h, tile_w
+        l_rgb, grid, lmin, 1.0 / step, levels, d, tile_h, tile_w,
+        pad_edge=True,
     )
     wc = jnp.transpose(planes[:4], (1, 2, 0))
     nw = jnp.transpose(planes[4:], (1, 2, 0))

@@ -55,9 +55,10 @@ def main():
         planar,
     )
 
-    t_pool = t(f"pool d={d}", lambda x: fast._downsample(x, d), planar)
+    # The pipeline's MXU pool kernel (4K is d-divisible, no pre-pad needed).
+    t_pool = t(f"pool d={d}", lambda x: fast._pool_pallas(x, d), planar)
 
-    small = jax.device_put(np.asarray(fast._downsample(planar, d)))
+    small = jax.device_put(np.asarray(fast._pool_pallas(planar, d)))
     t_range = t(
         "range reduce (pooled)",
         lambda s: jnp.min(s[:3], axis=(1, 2)).sum() + jnp.max(s[:3], axis=(1, 2)).sum()
@@ -70,16 +71,35 @@ def main():
     taps = fast._grid_taps(bp.sigma_spatial, d)
     print(f"taps: {len(taps)}")
     inv2sc = 0.5 / bp.sigma_color**2
+    bth, btw = fast._default_build_tile(d)
     t_build = t(
         "grid build",
         lambda s: fast._build_grid_pallas(
-            s, lmin, step, levels, taps, bp.border, inv2sc, uniform_alpha=True
+            s,
+            lmin,
+            step,
+            levels,
+            taps,
+            bp.border,
+            inv2sc,
+            tile_h=bth,
+            tile_w=btw,
+            uniform_alpha=True,
         ),
         small,
     )
 
     grid = fast._build_grid_pallas(
-        small, lmin, step, levels, taps, bp.border, inv2sc, uniform_alpha=True
+        small,
+        lmin,
+        step,
+        levels,
+        taps,
+        bp.border,
+        inv2sc,
+        tile_h=bth,
+        tile_w=btw,
+        uniform_alpha=True,
     )
     grid = jax.device_put(np.asarray(grid))
     t_pad = t(
@@ -88,7 +108,7 @@ def main():
         grid,
     )
 
-    tile_h, tile_w = 128, 1024
+    tile_h, tile_w = fast._default_slice_tile(d)
     hp2 = -(-h // tile_h) * tile_h
     wp2 = -(-w // tile_w) * tile_w
     guide = jax.device_put(
