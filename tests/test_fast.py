@@ -265,3 +265,67 @@ def test_turbo_tile_choice_invariant(rng, slice_t, build_t):
         )
     )
     np.testing.assert_array_equal(got, base)
+
+
+def test_slice_pad_edge_fold_equivalent(rng):
+    """pad_edge=True (raw grid, single combined edge+alignment pad) must be
+    bitwise-identical to the explicit two-step pad (edge pad then
+    pad_edge=False), for both the plain and the guided slice kernels --
+    guards the round-3 grid-pad fold that removed one full-grid HBM copy."""
+    import jax.numpy as jnp
+
+    from image_denoising_filter_tpu.config import LayersParams
+    from image_denoising_filter_tpu.ops import fast
+
+    clean, noisy = _scene(rng, h=137, w=259)
+    noisy = noisy.copy()
+    noisy[..., 3] = 1.0
+    d, levels = 2, 6
+    bp = BilateralParams(uniform_alpha=True)
+    planar = jnp.transpose(jnp.asarray(noisy), (2, 0, 1))
+    h, w = planar.shape[1:]
+    hp, wp = -(-h // d) * d, -(-w // d) * d
+    planar_p = jnp.pad(planar, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
+    small = fast._pool_pallas(planar_p, d)
+    lmin = jnp.min(small[:3], axis=(1, 2))
+    lmax = jnp.max(small[:3], axis=(1, 2))
+    step = jnp.maximum(lmax - lmin, 1e-6) / (levels - 1)
+    taps = fast._grid_taps(bp.sigma_spatial, d)
+    grid = fast._build_grid_pallas(
+        small, lmin, step, levels, taps, bp.border, 0.5 / bp.sigma_color**2,
+        uniform_alpha=True,
+    )
+    args = (lmin, 1.0 / step, levels, d, 64, 256)
+    kw = dict(uniform_alpha=True, alpha_val=planar[3, 0, 0])
+    folded = np.asarray(
+        fast._slice_grid_pallas(planar[:3], grid, *args, pad_edge=True, **kw)
+    )
+    grid_pre = jnp.pad(grid, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    explicit = np.asarray(
+        fast._slice_grid_pallas(planar[:3], grid_pre, *args, **kw)
+    )
+    np.testing.assert_array_equal(folded, explicit)
+
+    # Guided variant.
+    lp = LayersParams()
+    layer_p = planar_p  # layer == target is a legal guide
+    small_l = fast._pool_pallas(layer_p, d)
+    gmin = jnp.min(small_l[:3], axis=(1, 2))
+    gmax = jnp.max(small_l[:3], axis=(1, 2))
+    gstep = jnp.maximum(gmax - gmin, 1e-6) / (levels - 1)
+    gtaps = fast._grid_taps(lp.sigma_spatial, d)
+    ggrid = fast._build_guided_grid_pallas(
+        small, small_l, gmin, gstep, levels, gtaps, lp.border,
+        0.5 / lp.sigma_color**2,
+    )
+    gargs = (gmin, 1.0 / gstep, levels, d, 64, 256)
+    gfold = np.asarray(
+        fast._slice_guided_grid_pallas(
+            planar[:3], ggrid, *gargs, pad_edge=True
+        )
+    )
+    ggrid_pre = jnp.pad(ggrid, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    gexp = np.asarray(
+        fast._slice_guided_grid_pallas(planar[:3], ggrid_pre, *gargs)
+    )
+    np.testing.assert_array_equal(gfold, gexp)
