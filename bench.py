@@ -104,14 +104,26 @@ def main() -> None:
             )
             turbo[(content_name, d, K)] = mpix
 
-    nlp_t = NlmParams(uniform_alpha=True, search_stride=2)
+    # NLM turbo settings: (search_radius, search_stride). (7, 2) is the
+    # default (49 of 196 candidates, the round-2 mode); (6, 2) trims the
+    # search window to 36 candidates -- measured 41.0 dB vs exact on the gate
+    # content (just above the 40 dB gate; stride 3 and s=5 fail it, see
+    # docs/PERFORMANCE.md negative results). Both are published with their
+    # measured dB; the best GATED row carries the geomean.
+    NLM_TURBO_SETTINGS = ((7, 2), (6, 2))
     bf16 = TilingConfig(compute_dtype="bfloat16")
-    mpix_nt, _ = chiptime.measure_mpix(
-        lambda nb: nlm_accumulate(noise, nb, nlp_t, bf16)[0],
-        noise2,
-        n_pixels=n_px,
-        ks=(1, 4, 10),
-    )
+    nlm_turbo = {}
+    for s_r, st in NLM_TURBO_SETTINGS:
+        nlp_t = NlmParams(
+            uniform_alpha=True, search_radius=s_r, search_stride=st
+        )
+        mpix, _ = chiptime.measure_mpix(
+            lambda nb, p=nlp_t: nlm_accumulate(noise, nb, p, bf16)[0],
+            noise2,
+            n_pixels=n_px,
+            ks=(1, 4, 10),
+        )
+        nlm_turbo[(s_r, st)] = mpix
 
     # --- quality gates ---
     # (a) 512x1024 structured sinusoids (the round-1/2 gate content);
@@ -149,14 +161,27 @@ def main() -> None:
         gate_ok[(d, K)] = min(db_small, db_4k) >= GATE_DB
 
     exact_n_small = np.asarray(normalize(*nlm_accumulate(nz_d, nz2_d, nlp)))
-    db_nt = ref.psnr(
-        np.asarray(normalize(*nlm_accumulate(nz_d, nz2_d, nlp_t, bf16)))[
-            ..., :3
-        ],
-        exact_n_small[..., :3],
+    nlm_gates = {}
+    nlm_gate_ok = {}
+    for s_r, st in NLM_TURBO_SETTINGS:
+        nlp_g = NlmParams(
+            uniform_alpha=True, search_radius=s_r, search_stride=st
+        )
+        db = ref.psnr(
+            np.asarray(normalize(*nlm_accumulate(nz_d, nz2_d, nlp_g, bf16)))[
+                ..., :3
+            ],
+            exact_n_small[..., :3],
+        )
+        nlm_gates[(s_r, st)] = db
+        nlm_gate_ok[(s_r, st)] = db >= GATE_DB
+    db_nt = nlm_gates[(7, 2)]
+    mpix_nt = nlm_turbo[(7, 2)] if nlm_gate_ok[(7, 2)] else 0.0
+    # Best gated NLM turbo row carries the geomean (same rule as bilateral).
+    best_nlm_turbo = max(
+        (nlm_turbo[k] for k in NLM_TURBO_SETTINGS if nlm_gate_ok[k]),
+        default=0.0,
     )
-    if db_nt < GATE_DB:
-        mpix_nt = 0.0
 
     # --- exact-family regression checks on the chip (vs NumPy oracles) ---
     failures = []
@@ -225,10 +250,10 @@ def main() -> None:
         (turbo[("noise", d, K)] for d, K in gated), default=0.0
     )
     vs_baseline_turbo = math.sqrt(
-        (best_turbo_render / 5000.0) * (mpix_nt / 500.0)
+        (best_turbo_render / 5000.0) * (best_nlm_turbo / 500.0)
     )
     vs_baseline_turbo_noise = math.sqrt(
-        (best_turbo_noise / 5000.0) * (mpix_nt / 500.0)
+        (best_turbo_noise / 5000.0) * (best_nlm_turbo / 500.0)
     )
     if failures:
         vs_baseline = 0.0
@@ -244,6 +269,9 @@ def main() -> None:
         "nlm_4k_mpix_s": round(mpix_n, 1),
         "nlm_turbo_4k_mpix_s": round(mpix_nt, 1),
         "nlm_turbo_db_vs_exact": round(db_nt, 1),
+        "nlm_turbo_s6_4k_mpix_s": round(nlm_turbo[(6, 2)], 1),
+        "nlm_turbo_s6_db_vs_exact": round(nlm_gates[(6, 2)], 1),
+        "nlm_turbo_s6_gate_ok": nlm_gate_ok[(6, 2)],
         "vs_baseline_turbo_modes": round(vs_baseline_turbo, 4),
         "vs_baseline_turbo_modes_noise": round(vs_baseline_turbo_noise, 4),
         "psnr_parity_db": round(psnr, 1),

@@ -98,7 +98,9 @@ def main(argv: list[str] | None = None) -> int:
         "renders/photos, not white noise). NOTE: under --turbo the 'linear' "
         "config runs the same grid pipeline as 'bilateral' (the tiled-vs-"
         "linear layout experiment is an exact-kernel concept), so those two "
-        "outputs are the same computation under different filenames",
+        "outputs are the same computation under different filenames. "
+        "Combine with --search-radius 6 for the trimmed-search NLM row "
+        "(36 of 196 candidates, 41.0 dB vs exact on the bench gate)",
     )
     ap.add_argument(
         "--batch-frames", action="store_true",

@@ -69,6 +69,25 @@ def test_nlm_stride2_close_to_exact(rng):
     assert db >= 40.0, f"stride-2 NLM vs exact: {db:.1f} dB"
 
 
+def test_nlm_s6_stride2_gate(rng):
+    """The trimmed-search NLM turbo row (s=6, stride 2: 36 of 196 candidates)
+    must stay above the 40 dB bench gate vs the exact s=7 output. Measured
+    41.0 dB on the bench gate content (s=5 and stride 3 fail the gate --
+    negative results in docs/PERFORMANCE.md)."""
+    from image_denoising_filter_tpu.config import NlmParams
+    from image_denoising_filter_tpu.ops import nlm_xla, normalize_xla
+
+    clean, noisy = _scene(rng)
+    exact = np.asarray(normalize_xla(*nlm_xla(noisy, noisy, NlmParams())))
+    fast = np.asarray(
+        normalize_xla(
+            *nlm_xla(noisy, noisy, NlmParams(search_radius=6, search_stride=2))
+        )
+    )
+    db = ref.psnr(fast[..., :3], exact[..., :3])
+    assert db >= 40.0, f"s=6 stride-2 NLM vs exact: {db:.1f} dB"
+
+
 def test_nlm_stride2_denoises_as_well_as_exact(rng):
     from image_denoising_filter_tpu.config import NlmParams
     from image_denoising_filter_tpu.ops import nlm_xla, normalize_xla

@@ -167,10 +167,14 @@ def test_nlm_batched_frames_tiled_grid(img, img2):
 
 
 @pytest.mark.parametrize("impl", [nlm_accumulate, nlm_xla])
-def test_nlm_search_stride_matches_strided_oracle(img, img2, impl):
+@pytest.mark.parametrize(
+    "s,p",
+    [(2, 1), (6, 3)],  # (6, 3): the bench's trimmed-search gated turbo row
+)
+def test_nlm_search_stride_matches_strided_oracle(img, img2, impl, s, p):
     """search_stride=2 (the approximate NLM mode) evaluates exactly the strided
     offset subset -- kernel and oracle agree on the reduced candidate set."""
-    params = NlmParams(search_radius=2, patch_radius=1, search_stride=2)
+    params = NlmParams(search_radius=s, patch_radius=p, search_stride=2)
     wc, nw = impl(img, img2, params)
     wwc, wnw = ref.nlm_reference(img, img2, params)
     np.testing.assert_allclose(np.asarray(wc), wwc, rtol=1e-4, atol=1e-5)
