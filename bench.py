@@ -95,7 +95,11 @@ def main() -> None:
     turbo = {}
     for content_name, img in (("render", render), ("noise", noise)):
         for d, K in TURBO_SETTINGS:
-            ks = (1, 8, 32) if d > 2 else (1, 4, 16)
+            # Chain length scales with speed: the sub-1 ms d=8 pipeline needs
+            # k up to 64 to pull its slope off the method's resolution floor
+            # (14% spread at k<=32 in the round-3 three-run table; k is a
+            # dynamic arg so longer chains cost no extra compiles).
+            ks = (1, 16, 64) if d >= 8 else (1, 8, 32) if d > 2 else (1, 4, 16)
             mpix, _fit = chiptime.measure_mpix(
                 lambda x, K=K, d=d: bilateral_fast(x, bp, K, d),
                 img,
