@@ -302,6 +302,7 @@ def _grid_pipeline_planar(
     tile_h: int | None = None,
     tile_w: int | None = None,
     build_tile: tuple[int, int] | None = None,
+    cull_mask: bool = True,
 ) -> jnp.ndarray:
     """The fused Pallas grid pipeline: pool -> build grid -> slice.
 
@@ -370,6 +371,7 @@ def _grid_pipeline_planar(
         uniform_alpha=ua,
         alpha_val=alpha_val,
         pad_edge=True,
+        cull_mask=cull_mask,
     )
 
 
@@ -411,6 +413,13 @@ def _slice_grid_pallas(
     # edge pad into the alignment pad (one grid copy instead of two -- at
     # d=2 the grid is ~74 MB, a whole extra HBM pass). Sharded callers pass
     # False with their halo-assembled (hs+2, ws+2) grids.
+    cull_mask: bool = True,  # True: mask boundary-block garbage out of the
+    # culling min/max with a full-res iota/where (the round-3
+    # bench-of-record path, ~7 VPU ops/px on every block when the image is
+    # not tile-multiple). False: reduce over the raw (clipped) guide and
+    # defuse NaN with scalar guards -- garbage can only WIDEN the bounds
+    # (exact either way; boundary blocks may cull less). Chip A/B pending
+    # (tools/cullmask_ab_r3.py).
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -426,8 +435,8 @@ def _slice_grid_pallas(
     # blocks). The round-2 kernel required tile-multiple padding, which cost
     # a full-res jnp.pad copy of the guide plus a full-res crop of the output
     # (~0.6 ms of pure HBM copies at 4K). Boundary-block garbage can only
-    # reach discarded pixels -- except through the culling min/max, which is
-    # masked below.
+    # reach discarded pixels -- or the culling min/max, handled per
+    # `cull_mask` in the kernel.
     nh, nw = -(-h // tile_h), -(-w // tile_w)
     ragged = (h % tile_h != 0) or (w % tile_w != 0)
     # Bilinear weights are multiples of 1/d -- exact in bf16; keeping the
@@ -479,21 +488,31 @@ def _slice_grid_pallas(
         # identically zero tent weight on every pixel of the tile. Real
         # content is locally low-dynamic-range, so most tiles sweep a small
         # subset of the K levels.
-        if ragged:
-            # Boundary blocks read out-of-range guide values (undefined);
-            # they only land on discarded pixels, but a NaN there would
-            # poison the min/max -- replace them with the mid level (worst
-            # case: a boundary tile computes a few extra exactly-zero-tent
-            # levels).
+        #
+        # Two reduction variants (exact either way; `cull_mask` kwarg):
+        #  * masked: boundary-block garbage replaced by the mid level with a
+        #    full-res iota/where before the reduce (tight bounds everywhere;
+        #    ~7 VPU ops/px on every block when the image is not
+        #    tile-multiple, which 4K never is);
+        #  * unmasked: reduce the raw (clipped) guide; garbage can only
+        #    WIDEN the bounds (boundary blocks may cull less), and the one
+        #    real hazard -- NaN poisoning the min/max so every pl.when goes
+        #    false and levels get SKIPPED -- is defused by scalar guards.
+        if cull_mask and ragged:
             riota = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
             ciota = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
             valid = (riota < h - i * tile_h) & (ciota < w - j * tile_w)
             mid = jnp.float32((levels - 1) * 0.5)
             red = [jnp.where(valid, t, mid) for t in ts]
+            tmins = [jnp.min(t) for t in red]
+            tmaxs = [jnp.max(t) for t in red]
         else:
-            red = ts
-        tmins = [jnp.min(t) for t in red]
-        tmaxs = [jnp.max(t) for t in red]
+            tmins = []
+            tmaxs = []
+            for t in ts:
+                m, M = jnp.min(t), jnp.max(t)
+                tmins.append(jnp.where(m == m, m, jnp.float32(0.0)))
+                tmaxs.append(jnp.where(M == M, M, jnp.float32(levels - 1)))
         cp.wait()
         um = u_ref[:]
         vm = v_ref[:]
@@ -838,6 +857,7 @@ def _slice_guided_grid_pallas(
     tile_w: int = 1024,  # round-3 sweep: 256x1024 at 4K
     pad_edge: bool = False,  # True: grid is RAW; fold the edge pad into the
     # alignment pad (one grid copy; see _slice_grid_pallas)
+    cull_mask: bool = True,  # see _slice_grid_pallas
 ):
     """Tent-interpolate the unnormalized guided grid at full resolution:
     returns (7, H, W) = [wc_r wc_g wc_b wc_a nw_r nw_g nw_b] partials."""
@@ -881,18 +901,23 @@ def _slice_guided_grid_pallas(
         for c in range(3):
             t = (guide_ref[c] - lim_ref[c, 0]) * lim_ref[c, 1]
             ts.append(jnp.clip(t, 0.0, float(levels - 1)))
-        # Per-tile level culling (exact; see _slice_grid_pallas), with the
-        # boundary-block mask on the reduction operand.
-        if ragged:
+        # Per-tile level culling (exact; both variants -- see
+        # _slice_grid_pallas's cull_mask note).
+        if cull_mask and ragged:
             riota = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
             ciota = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
             valid = (riota < h - i * tile_h) & (ciota < w - j * tile_w)
             mid = jnp.float32((levels - 1) * 0.5)
             red = [jnp.where(valid, t, mid) for t in ts]
+            tmins = [jnp.min(t) for t in red]
+            tmaxs = [jnp.max(t) for t in red]
         else:
-            red = ts
-        tmins = [jnp.min(t) for t in red]
-        tmaxs = [jnp.max(t) for t in red]
+            tmins = []
+            tmaxs = []
+            for t in ts:
+                m, M = jnp.min(t), jnp.max(t)
+                tmins.append(jnp.where(m == m, m, jnp.float32(0.0)))
+                tmaxs.append(jnp.where(M == M, M, jnp.float32(levels - 1)))
         cp.wait()
         um = u_ref[:]
         vm = v_ref[:]

@@ -253,6 +253,24 @@ def test_turbo_odd_shapes(rng, hw, d):
     assert db >= 35.0, f"odd-shape turbo d={d} vs exact: {db:.1f} dB"
 
 
+@pytest.mark.parametrize("d", [2, 4])
+def test_turbo_cull_mask_variants_identical(rng, d):
+    """The two culling-reduction variants (full-res boundary masking vs raw
+    reduce + scalar NaN guards) must produce IDENTICAL output on ragged
+    shapes -- garbage can only widen the culling bounds, never change which
+    nonzero-ramp levels run (ops/fast.py cull_mask)."""
+    import jax.numpy as jnp
+
+    from image_denoising_filter_tpu.ops import fast
+
+    _, noisy = _scene(rng, h=112, w=384)  # ragged at every d's tile floor
+    bp = BilateralParams()
+    planar = jnp.transpose(jnp.asarray(noisy), (2, 0, 1))
+    a = np.asarray(fast._grid_pipeline_planar(planar, bp, 6, d, cull_mask=True))
+    b = np.asarray(fast._grid_pipeline_planar(planar, bp, 6, d, cull_mask=False))
+    np.testing.assert_array_equal(a, b)
+
+
 @pytest.mark.parametrize(
     "slice_t,build_t", [((256, 256), (128, 256)), ((128, 512), (64, 128))]
 )
