@@ -303,6 +303,7 @@ def _grid_pipeline_planar(
     tile_w: int | None = None,
     build_tile: tuple[int, int] | None = None,
     cull_mask: bool = True,
+    out_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """The fused Pallas grid pipeline: pool -> build grid -> slice.
 
@@ -372,6 +373,7 @@ def _grid_pipeline_planar(
         alpha_val=alpha_val,
         pad_edge=True,
         cull_mask=cull_mask,
+        out_dtype=out_dtype,
     )
 
 
@@ -420,6 +422,10 @@ def _slice_grid_pallas(
     # defuse NaN with scalar guards -- garbage can only WIDEN the bounds
     # (exact either way; boundary blocks may cull less). Chip A/B pending
     # (tools/cullmask_ab_r3.py).
+    out_dtype=jnp.float32,  # bf16 halves the output HBM write (the output
+    # feeds the LDR 255x quantize or an approximate-mode consumer; bf16's
+    # ~4e-3 relative rounding sits ~65 dB down, inside the turbo budget).
+    # Accumulation stays f32; opt-in, chip A/B pending.
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -573,11 +579,13 @@ def _slice_grid_pallas(
                         acc[3] += up_delta(k, 3)
 
         for c in range(3):
-            out_ref[c] = acc[c]
+            out_ref[c] = acc[c].astype(out_ref.dtype)
         if uniform_alpha:
-            out_ref[3] = jnp.zeros((tile_h, tile_w), jnp.float32) + lim_ref[3, 0]
+            out_ref[3] = (
+                jnp.zeros((tile_h, tile_w), jnp.float32) + lim_ref[3, 0]
+            ).astype(out_ref.dtype)
         else:
-            out_ref[3] = acc[3]
+            out_ref[3] = acc[3].astype(out_ref.dtype)
 
     return pl.pallas_call(
         kern,
@@ -590,7 +598,7 @@ def _slice_grid_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((4, tile_h, tile_w), lambda i, j: (0, i, j)),
-        out_shape=jax.ShapeDtypeStruct((4, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4, h, w), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((nc * levels, slab_h, slab_w), grid.dtype),
             pltpu.VMEM((3 if uniform_alpha else 4, tile_h, tile_w), jnp.float32),

@@ -36,12 +36,13 @@ from image_denoising_filter_tpu.utils import chiptime, compile_cache
 from image_denoising_filter_tpu.utils.content import synthetic_render
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def pipeline(img, levels: int, d: int, cull_mask: bool):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def pipeline(img, levels: int, d: int, cull_mask: bool, out_bf16: bool = False):
     planar = jnp.transpose(img.astype(jnp.float32), (2, 0, 1))
     params = BilateralParams(uniform_alpha=True)
     out = fast._grid_pipeline_planar(
-        planar, params, levels, d, cull_mask=cull_mask
+        planar, params, levels, d, cull_mask=cull_mask,
+        out_dtype=jnp.bfloat16 if out_bf16 else jnp.float32,
     )
     return jnp.transpose(out, (1, 2, 0))
 
@@ -68,21 +69,24 @@ def main():
         if not smoke:
             ks = (1, 16, 64) if d >= 8 else (1, 8, 32) if d > 2 else (1, 4, 16)
             for content_name, img in (("render", render), ("noise", noise)):
-                for mask in (True, False):
+                for mask, bf16 in ((True, False), (False, False), (False, True)):
                     mpix, fit = chiptime.measure_mpix(
-                        lambda x, d=d, m=mask: pipeline(x, 6, d, m),
+                        lambda x, d=d, m=mask, b=bf16: pipeline(x, 6, d, m, b),
                         img,
                         n_pixels=n_px,
                         ks=ks,
                     )
                     print(
-                        f"d={d} {content_name} cull_mask={mask}: "
-                        f"{mpix:.0f} Mpix/s (slope {fit.slope*1e3:.3f} ms, "
+                        f"d={d} {content_name} cull_mask={mask} "
+                        f"out_bf16={bf16}: {mpix:.0f} Mpix/s "
+                        f"(slope {fit.slope*1e3:.3f} ms, "
                         f"spread {fit.spread:.1%})"
                     )
         a = np.asarray(pipeline(render, 6, d, True))
         b = np.asarray(pipeline(render, 6, d, False))
         print(f"d={d} max|masked-unmasked| = {np.abs(a - b).max():.2e}")
+        c = np.asarray(pipeline(render, 6, d, False, True)).astype(np.float32)
+        print(f"d={d} max|f32-bf16out| = {np.abs(a - c).max():.2e}")
 
 
 if __name__ == "__main__":
