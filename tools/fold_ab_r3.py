@@ -72,8 +72,6 @@ def pipeline_unfolded(img, levels: int, d: int, _tag: str = "old"):
 
 
 def main():
-    import os
-
     compile_cache.enable()
     h, w = 2160, 3840
     if os.environ.get("FOLD_AB_SMOKE"):  # tiny CPU smoke (interpret mode)
