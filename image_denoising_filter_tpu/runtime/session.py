@@ -561,6 +561,19 @@ class Session:
         assert not cfg.nlm, "turbo NLM runs through run() with search_stride"
         from ..ops.fast import bilateral_fast
 
+        if downsample >= 8 and self.bilateral_params.sigma_spatial < 5.0:
+            # Measured crossover (tools/quality_ladders_r3.py): at 4K an
+            # 8-px grid cell + bilinear reconstruction measures 36.9 dB vs
+            # exact at sigma_s=2 and only passes the 40 dB quality gate from
+            # sigma_s ~5-6 up.
+            print(
+                "note: --turbo 8 with sigma_spatial="
+                f"{self.bilateral_params.sigma_spatial:g} measures below the"
+                " 40 dB quality gate vs the exact kernel (crossover at"
+                " sigma_s ~5-6; docs/PERFORMANCE.md). Use --turbo 4 or a"
+                " larger --sigma-spatial."
+            )
+
         if cfg.use_layers:
             return self._run_turbo_layers(cfg, levels, downsample)
 
