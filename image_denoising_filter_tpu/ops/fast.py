@@ -46,13 +46,15 @@ def _gauss_taps(sigma: float, radius: int) -> np.ndarray:
 def _grid_taps(sigma_spatial: float, d: int) -> np.ndarray:
     """Grid-resolution blur taps with the pooling prefilter compensated.
 
-    The d x d mean-pool is itself a spatial prefilter with variance d^2/12
-    (a box of width d); the grid blur only needs to supply the remainder so
-    the *total* spatial kernel matches the exact filter's sigma_spatial.
-    The round-2 taps used sigma_spatial/d uncompensated, double-blurring at
-    d >= 4 (measured: the compensated taps are both closer to the exact
-    kernel and cheaper -- fewer taps)."""
-    var = sigma_spatial * sigma_spatial - d * d / 12.0
+    The d x d mean-pool is itself a spatial prefilter: the mean of d DISCRETE
+    unit-spaced samples has variance (d^2 - 1)/12 (not the continuous box's
+    d^2/12 -- at d=1 the pool is the identity and must contribute zero); the
+    grid blur only needs to supply the remainder so the *total* spatial
+    kernel matches the exact filter's sigma_spatial. The round-2 taps used
+    sigma_spatial/d uncompensated, double-blurring at d >= 4 (measured: the
+    compensated taps are both closer to the exact kernel and cheaper --
+    fewer taps)."""
+    var = sigma_spatial * sigma_spatial - (d * d - 1) / 12.0
     sigma_g = math.sqrt(max(var, 0.04)) / d
     radius = max(1, int(math.ceil(4.0 * sigma_g)))
     return _gauss_taps(sigma_g, radius)

@@ -408,15 +408,20 @@ def temporal_nlm_sharded_partials(
     def run(t_local, frames_local, valid_local):
         rows = t_local.shape[0]
         t_ext = _exchange_halo(t_local, halo, params.border, SPATIAL_AXIS)
-        f_ext = jax.vmap(
-            lambda fr: _exchange_halo(fr, halo, params.border, SPATIAL_AXIS)
-        )(frames_local)
         if linear:
-            # XLA variant has no frame-batched kernel: per-frame scan.
+            # XLA variant has no frame-batched kernel: per-frame scan, with
+            # the halo exchange INSIDE the scan body so only one halo-extended
+            # frame is live at a time (materializing the whole stacked f_ext
+            # up front would roughly double per-device frame HBM on long 4K
+            # chunks -- round-3 ADVICE; the frame-batched Pallas branch below
+            # genuinely needs the stacked array).
             def body(carry, frame_and_valid):
                 frame, v = frame_and_valid
+                f_ext = _exchange_halo(
+                    frame, halo, params.border, SPATIAL_AXIS
+                )
                 wc_c, nw_c = carry
-                pwc, pnw = ops_xla.nlm_xla(t_ext, frame, params)
+                pwc, pnw = ops_xla.nlm_xla(t_ext, f_ext, params)
                 return (wc_c + pwc * v, nw_c + pnw * v), None
 
             ext_rows = rows + 2 * halo
@@ -424,8 +429,11 @@ def temporal_nlm_sharded_partials(
                 jnp.zeros((ext_rows, t_local.shape[1], 4), jnp.float32),
                 jnp.zeros((ext_rows, t_local.shape[1]), jnp.float32),
             )
-            (wc, nw), _ = jax.lax.scan(body, init, (f_ext, valid_local))
+            (wc, nw), _ = jax.lax.scan(body, init, (frames_local, valid_local))
         else:
+            f_ext = jax.vmap(
+                lambda fr: _exchange_halo(fr, halo, params.border, SPATIAL_AXIS)
+            )(frames_local)
             # Frame-batched Pallas kernel over the device's local frame
             # chunk: the (wc, nw) accumulators stay VMEM-resident across the
             # frame axis (the reference's persistent weights buffer,

@@ -502,6 +502,7 @@ class Session:
             frame_bytes = h_t * w_t * 4 * 4
             chunk = max(1, min(n, int(1.5e9 // max(1, frame_bytes))))
             total_wc = total_nw = None
+            warmed: set = set()
             for start_i in range(0, n, chunk):
                 frames_host = [
                     self._load(p) for p in ds.frames[start_i : start_i + chunk]
@@ -514,9 +515,17 @@ class Session:
                 with report.transfer():
                     frames_dev = jax.device_put(np.stack(frames_host))
                     jax.block_until_ready(frames_dev)
-                if self.warmup and start_i == 0:
+                # Warm every DISTINCT program this loop will dispatch, not
+                # just the first chunk's: the tail chunk (n % chunk frames)
+                # has a different stacked shape, and a chunk whose alpha
+                # uniformity flips swaps bmodel -- either would otherwise
+                # remote-compile (20-40 s, minutes on bad days) inside the
+                # timed execute block below (round-3 ADVICE).
+                warm_key = (frames_dev.shape, bmodel is model_fast)
+                if self.warmup and warm_key not in warmed:
                     warm = bmodel.accumulate(target_dev, frames_dev)
                     _fence(bmodel.finalize(warm))
+                    warmed.add(warm_key)
                 with report.execute():
                     wc, nw = bmodel.accumulate(target_dev, frames_dev)
                     if total_wc is None:

@@ -31,6 +31,46 @@ def _frame(seed, h=32, w=32):
     return rng.uniform(0, 1, (h, w, 4)).astype(np.float32)
 
 
+def _assert_bf16_grid_close(got, want, ulps=2, atol=3e-4, flip_frac=0.01):
+    """Sharded-vs-single-device contract for the bf16-stored turbo grids.
+
+    The legitimate divergence is a STORED-GRID rounding flip: shard tiles
+    place the same logical row at a different offset inside the MXU matmul
+    contraction, the ~1-f32-ulp reduction-grouping shift occasionally lands
+    on a bf16 rounding boundary, and the flipped cell reaches the output
+    through the linear slice. So the contract is two-part (a flat rtol of a
+    few 1e-3 would also forgive *smooth* sub-0.3% seam/halo drift on every
+    pixel -- round-3 ADVICE):
+
+      * every pixel within `ulps` bfloat16 ulps (or `atol` near zero), and
+      * at most `flip_frac` of pixels outside f32-tight 3e-6/1e-5 bounds
+        (observed flip rates are ~0.01%; a seam regression drifts a whole
+        row band, which trips this even when each pixel stays under 1 ulp).
+    """
+    import ml_dtypes
+
+    got = np.asarray(got, np.float32)
+    want = np.asarray(want, np.float32)
+
+    def key(x):
+        b = x.astype(ml_dtypes.bfloat16).view(np.uint16).astype(np.int32)
+        return np.where(b & 0x8000, -(b & 0x7FFF), b)
+
+    dist = np.abs(key(got) - key(want))
+    absdiff = np.abs(got - want)
+    bad = (dist > ulps) & (absdiff > atol)
+    assert not bad.any(), (
+        f"{bad.sum()} px beyond {ulps} bf16 ulps "
+        f"(max ulp dist {dist[absdiff > atol].max() if (absdiff > atol).any() else 0})"
+    )
+    loose = absdiff > (3e-6 * np.abs(want) + 1e-5)
+    frac = loose.mean()
+    assert frac <= flip_frac, (
+        f"{frac:.2%} of pixels beyond f32-tight bounds "
+        f"(> {flip_frac:.2%}: smooth seam drift, not rounding flips)"
+    )
+
+
 def test_eight_devices_available():
     assert len(jax.devices()) == 8, "conftest must provide the virtual mesh"
 
@@ -87,7 +127,7 @@ def test_spatial_bilateral_fast_matches_single_device(n_y, d):
         ),
         (1, 2, 0),
     )
-    np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-4)
+    _assert_bf16_grid_close(got, want)
 
 
 def test_spatial_bilateral_fast_zero_border():
@@ -109,7 +149,7 @@ def test_spatial_bilateral_fast_zero_border():
         np.asarray(fast._grid_pipeline_planar(planar, params, 8, 2)),
         (1, 2, 0),
     )
-    np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-4)
+    _assert_bf16_grid_close(got, want)
 
 
 def test_spatial_nlm_matches_oracle():
@@ -247,8 +287,9 @@ def test_spatial_layers_fast_matches_single_device(n_y, d):
     # The guided grid stores UNNORMALIZED num/den planes in bf16: the ~1-ulp
     # f32 difference between shard-tile and single-tile matmul groupings can
     # flip a value across a bf16 rounding boundary (1 bf16 ulp = 0.4%), which
-    # the final division then surfaces -- observed on 0.01% of pixels.
-    np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-4)
+    # the final division then surfaces -- observed on 0.01% of pixels (the
+    # division of two 1-ulp-flipped planes can reach ~2 quotient ulps).
+    _assert_bf16_grid_close(got, want, ulps=4)
 
 
 def test_spatial_nlm_turbo_params_sharded():
