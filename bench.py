@@ -1,15 +1,27 @@
 """Benchmark: Pallas kernels with full reference parameters on the attached
-TPU chip. Prints ONE JSON line:
+TPU chip. ALWAYS prints exactly ONE JSON line (even when the backend never
+comes up -- then with an "error" field and vs_baseline 0.0):
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 
 Targets (BASELINE.json): bilateral >= 5000 Mpix/s, NLM >= 500 Mpix/s per v5e
 chip at 4K; >= 59 dB PSNR parity vs the CPU bilateral reference. vs_baseline
 is the geometric mean of the two throughput ratios (1.0 == both targets met).
 
-Timing: the shared K-chain slope (utils/chiptime.py, ks up to 32, refeed mode
+Resilience (round-3 VERDICT #1): the tunneled axon backend wedges for long
+stretches (compile plane AND data plane -- see CLAUDE.md), and round 3's
+driver capture was lost to exactly that (BENCH_r03.json rc=1). So before any
+measurement this script probes BOTH planes in a SUBPROCESS (a wedged
+device_put hangs indefinitely; the subprocess bounds it) and retries with
+backoff for a bounded window; every measurement phase is individually fenced
+so one failure degrades the record instead of blanking it, and the JSON line
+is emitted from a finally block no matter what.
+
+Timing: the shared K-chain slope (utils/chiptime.py, ks up to 64, refeed mode
 so every chained application sees the ORIGINAL content -- required since the
 turbo slice kernel culls intensity levels per tile and would otherwise be
-measured on progressively smoothed frames).
+measured on progressively smoothed frames). Every throughput row publishes
+its fit spread as `<row>_spread` (relative rms residual of the per-k medians
+around the fit; docs/PERFORMANCE.md gives the quotability rule).
 
 Content: the turbo modes are measured on BOTH content classes and both are
 published: `render` (synthetic render-like scene + noise -- the reference's
@@ -18,22 +30,113 @@ actual workload class, where per-tile level culling engages) and `noise`
 cull). The headline turbo geomean uses the render-content numbers; the noise
 floor is the *_noise field of each row.
 
+Quality gates: every approximate (turbo) setting -- bilateral grid, NLM
+strided search, guided-layers grid -- is gated at 40 dB vs the exact kernels
+at BOTH the 512x1024 sinusoid content and the SHIPPING 4K tile configuration
+on render content, through the same Pallas paths the throughput rows run
+(round-3 VERDICT #3/#4). Gate-failing rows publish raw throughput with
+gate_ok=false and are excluded from the geomean.
+
 Exact-kernel regression checks: all five kernel families (bilateral, NLM,
 layers, normalize -- the linear-layout variant rides the same check) compile
-on the chip and PSNR-check against their NumPy oracles; any failure lands in
-"exact_check_failures" and zeroes vs_baseline so a Mosaic regression cannot
-hide (round-2 VERDICT #5).
+on the chip and PSNR-check against their NumPy oracles at 96x128, AND against
+the XLA variants at a 1080p-scale shape (so a tile/halo/clamp bug at real
+shapes fails the record -- round-3 VERDICT #7); any failure lands in
+"exact_check_failures" and zeroes vs_baseline.
 """
 
 from __future__ import annotations
 
 import json
 import math
+import subprocess
+import sys
+import time
 
 import numpy as np
 
+GATE_DB = 40.0
 
-def main() -> None:
+# Bilateral-grid settings shipped through --turbo D (ops/fast.py); K is the
+# Session.run_turbo(levels=) knob. K=6 == K=8 quality (25% faster); (4, 5)
+# measures IDENTICAL dB to (4, 6) on both gate contents and ~5% faster still.
+TURBO_SETTINGS = ((2, 6), (4, 6), (4, 5), (8, 6))  # (downsample, levels)
+# NLM turbo settings: (search_radius, search_stride). (7, 2) is the default
+# (49 of 196 candidates); (6, 2) trims to 36 -- 41.0 dB vs exact on the gate
+# content (stride 3 and s=5 fail the gate; docs/PERFORMANCE.md negative
+# results). The best GATED row carries the geomean.
+NLM_TURBO_SETTINGS = ((7, 2), (6, 2))
+# Guided-layers turbo downsamples (per-layer unit of the layers battery
+# config, /root/reference/src/main.cpp:1957; round-3 VERDICT #3).
+LAYERS_TURBO_DS = (2, 4)
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp, numpy as np;"
+    "print(float(jax.jit(lambda v: (v * 2).sum())(jnp.ones((8, 128)))));"
+    "a = jax.device_put(np.ones((1024, 1024), np.float32));"
+    "print(float(jax.jit(lambda v: v.sum())(a)))"
+)
+
+
+def _probe_backend(window_s: float, attempt_timeout: float = 240.0):
+    """Probe the compile plane (tiny jit) AND the data plane (a ~4 MB
+    device_put + readback) in a subprocess, retrying with backoff until the
+    window closes. Returns (ok, attempts, last_error). The subprocess is the
+    whole point: a wedged transfer hangs forever in-process, and CLAUDE.md's
+    wedge guidance is to probe small and poll rather than queue big work."""
+    deadline = time.monotonic() + window_s
+    attempt, last = 0, ""
+    while True:
+        attempt += 1
+        budget = max(30.0, min(attempt_timeout, deadline - time.monotonic()))
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                capture_output=True,
+                text=True,
+                timeout=budget,
+            )
+            if r.returncode == 0:
+                return True, attempt, ""
+            last = (r.stderr or r.stdout or "backend error")[-300:]
+        except subprocess.TimeoutExpired:
+            last = f"probe timeout ({budget:.0f} s)"
+        if time.monotonic() >= deadline - 1.0:
+            return False, attempt, last
+        time.sleep(min(45.0, 5.0 * attempt))
+
+
+class _Phases:
+    """Run measurement phases with individual failure fencing: a phase that
+    raises records its error and -- if a quick re-probe says the backend is
+    gone -- stops launching further phases, so the JSON still carries every
+    row measured before the failure."""
+
+    def __init__(self, out: dict):
+        self.out = out
+        self.dead = False
+
+    def run(self, name: str, fn) -> bool:
+        if self.dead:
+            self.out.setdefault("phase_errors", []).append(
+                f"{name}: skipped (backend down)"
+            )
+            return False
+        try:
+            fn()
+            return True
+        except Exception as e:  # noqa: BLE001 -- record, degrade, continue
+            msg = f"{type(e).__name__}: {e}"
+            self.out.setdefault("phase_errors", []).append(
+                f"{name}: {msg[:300]}"
+            )
+            ok, _, _ = _probe_backend(window_s=240.0, attempt_timeout=180.0)
+            if not ok:
+                self.dead = True
+            return False
+
+
+def _measure(out: dict) -> None:
     import jax
 
     from image_denoising_filter_tpu.utils import chiptime, compile_cache
@@ -50,9 +153,14 @@ def main() -> None:
     from image_denoising_filter_tpu.ops import (
         bilateral,
         bilateral_fast,
+        bilateral_xla,
         cross_bilateral_layers,
+        cross_bilateral_layers_fast,
+        cross_bilateral_layers_xla,
         nlm_accumulate,
+        nlm_xla,
         normalize,
+        normalize_layers_fast,
     )
     from image_denoising_filter_tpu.ops import reference as ref
     from image_denoising_filter_tpu.utils.content import synthetic_render
@@ -66,74 +174,129 @@ def main() -> None:
     noise_h[..., 3] = 1.0
     noise2_h = rng.uniform(0, 1, (h, w, 4)).astype(np.float32)
     noise2_h[..., 3] = 1.0
-    render_h = synthetic_render(h, w, seed=1)
-    render_h = (render_h + rng.normal(0, 0.05, render_h.shape)).astype(
-        np.float32
-    )
+    render_clean_h = synthetic_render(h, w, seed=1)
+    render_h = (
+        render_clean_h + rng.normal(0, 0.05, render_clean_h.shape)
+    ).astype(np.float32)
     render_h[..., 3] = 1.0
+    render2_h = (
+        render_clean_h + rng.normal(0, 0.05, render_clean_h.shape)
+    ).astype(np.float32)
+    render2_h[..., 3] = 1.0
     noise = jax.device_put(noise_h)
     noise2 = jax.device_put(noise2_h)
     render = jax.device_put(render_h)
+    render2 = jax.device_put(render2_h)
 
     bp = BilateralParams(uniform_alpha=True)  # radius 20 (reference GPU params)
     nlp = NlmParams(uniform_alpha=True)  # s=7 p=3 h=0.5
-
-    # --- exact kernels (content-independent cost; measured on noise) ---
-    fit_b = chiptime.slope_time(lambda x: bilateral(x, bp), noise, ks=(1, 2, 4))
-    fit_n = chiptime.slope_time(
-        lambda nb: nlm_accumulate(noise, nb, nlp)[0], noise2, ks=(1, 2, 4)
-    )
-    mpix_b = fit_b.mpix_s(n_px)
-    mpix_n = fit_n.mpix_s(n_px)
-
-    # --- quality-gated approximate (turbo) modes ---
-    # Bilateral-grid settings shipped through --turbo D (ops/fast.py); K is
-    # the Session.run_turbo(levels=) knob. K=6 == K=8 quality (25% faster);
-    # (4, 5) measures IDENTICAL dB to (4, 6) on both gate contents and ~5%
-    # faster still -- published as its own gated row.
-    TURBO_SETTINGS = ((2, 6), (4, 6), (4, 5), (8, 6))  # (downsample, levels)
-    turbo = {}
-    for content_name, img in (("render", render), ("noise", noise)):
-        for d, K in TURBO_SETTINGS:
-            # Chain length scales with speed: the sub-1 ms d=8 pipeline needs
-            # k up to 64 to pull its slope off the method's resolution floor
-            # (14% spread at k<=32 in the round-3 three-run table; k is a
-            # dynamic arg so longer chains cost no extra compiles).
-            ks = (1, 16, 64) if d >= 8 else (1, 8, 32) if d > 2 else (1, 4, 16)
-            mpix, _fit = chiptime.measure_mpix(
-                lambda x, K=K, d=d: bilateral_fast(x, bp, K, d),
-                img,
-                n_pixels=n_px,
-                ks=ks,
-            )
-            turbo[(content_name, d, K)] = mpix
-
-    # NLM turbo settings: (search_radius, search_stride). (7, 2) is the
-    # default (49 of 196 candidates, the round-2 mode); (6, 2) trims the
-    # search window to 36 candidates -- measured 41.0 dB vs exact on the gate
-    # content (just above the 40 dB gate; stride 3 and s=5 fail it, see
-    # docs/PERFORMANCE.md negative results). Both are published with their
-    # measured dB; the best GATED row carries the geomean.
-    NLM_TURBO_SETTINGS = ((7, 2), (6, 2))
     bf16 = TilingConfig(compute_dtype="bfloat16")
-    nlm_turbo = {}
-    for s_r, st in NLM_TURBO_SETTINGS:
-        nlp_t = NlmParams(
-            uniform_alpha=True, search_radius=s_r, search_stride=st
-        )
-        mpix, _ = chiptime.measure_mpix(
-            lambda nb, p=nlp_t: nlm_accumulate(noise, nb, p, bf16)[0],
-            noise2,
-            n_pixels=n_px,
-            ks=(1, 4, 10),
-        )
-        nlm_turbo[(s_r, st)] = mpix
+    phases = _Phases(out)
 
-    # --- quality gates ---
+    def put(key: str, value, nd: int = 1) -> None:
+        out[key] = round(float(value), nd) if nd is not None else value
+
+    def put_fit(key: str, mpix: float, fit) -> None:
+        put(f"{key}_mpix_s", mpix)
+        out[f"{key}_spread"] = round(float(fit.spread), 3)
+
+    # --- exact kernels at 4K (content-independent cost; measured on noise) --
+    def phase_exact_4k():
+        fit_b = chiptime.slope_time(
+            lambda x: bilateral(x, bp), noise, ks=(1, 2, 4)
+        )
+        put_fit("bilateral_4k", fit_b.mpix_s(n_px), fit_b)
+        fit_n = chiptime.slope_time(
+            lambda nb: nlm_accumulate(noise, nb, nlp)[0], noise2, ks=(1, 2, 4)
+        )
+        put_fit("nlm_4k", fit_n.mpix_s(n_px), fit_n)
+
+    phases.run("exact_4k", phase_exact_4k)
+
+    # --- exact kernels at 1080p (BASELINE.md names 1080p explicitly) --------
+    def phase_exact_1080p():
+        hh, ww = 1080, 1920
+        na = jax.device_put(np.ascontiguousarray(noise_h[:hh, :ww]))
+        nb = jax.device_put(np.ascontiguousarray(noise2_h[:hh, :ww]))
+        fit_b = chiptime.slope_time(lambda x: bilateral(x, bp), na, ks=(1, 4, 8))
+        put_fit("bilateral_1080p", fit_b.mpix_s(hh * ww), fit_b)
+        fit_n = chiptime.slope_time(
+            lambda y: nlm_accumulate(na, y, nlp)[0], nb, ks=(1, 4, 8)
+        )
+        put_fit("nlm_1080p", fit_n.mpix_s(hh * ww), fit_n)
+
+    phases.run("exact_1080p", phase_exact_1080p)
+
+    # --- quality-gated approximate (turbo) bilateral ------------------------
+    turbo: dict = {}
+    gates: dict = {}
+    gate_ok: dict = {}
+
+    def phase_turbo_bilateral():
+        for content_name, img in (("render", render), ("noise", noise)):
+            for d, K in TURBO_SETTINGS:
+                # Chain length scales with speed: the sub-1 ms d=8 pipeline
+                # needs k up to 64 to pull its slope off the method's
+                # resolution floor (k is a dynamic arg: no extra compiles).
+                ks = (
+                    (1, 16, 64)
+                    if d >= 8
+                    else (1, 8, 32) if d > 2 else (1, 4, 16)
+                )
+                mpix, fit = chiptime.measure_mpix(
+                    lambda x, K=K, d=d: bilateral_fast(x, bp, K, d),
+                    img,
+                    n_pixels=n_px,
+                    ks=ks,
+                )
+                turbo[(content_name, d, K)] = (mpix, fit)
+
+    phases.run("turbo_bilateral", phase_turbo_bilateral)
+
+    # --- turbo NLM (strided search + bf16 taps) ------------------------------
+    nlm_turbo: dict = {}
+
+    def phase_turbo_nlm():
+        for s_r, st in NLM_TURBO_SETTINGS:
+            nlp_t = NlmParams(
+                uniform_alpha=True, search_radius=s_r, search_stride=st
+            )
+            mpix, fit = chiptime.measure_mpix(
+                lambda nb, p=nlp_t: nlm_accumulate(noise, nb, p, bf16)[0],
+                noise2,
+                n_pixels=n_px,
+                ks=(1, 4, 10),
+            )
+            nlm_turbo[(s_r, st)] = (mpix, fit)
+
+    phases.run("turbo_nlm", phase_turbo_nlm)
+
+    # --- turbo guided layers (per-layer unit of the layers battery config) --
+    layer_clean_h = synthetic_render(h, w, seed=2)  # G-buffer-like guide
+    layer_clean_h[..., 3] = 1.0
+    lp = LayersParams()
+    layers_turbo: dict = {}
+
+    def phase_turbo_layers():
+        l_dev = jax.device_put(layer_clean_h)
+        for d in LAYERS_TURBO_DS:
+            fn = lambda t, d=d: normalize_layers_fast(  # noqa: E731
+                *cross_bilateral_layers_fast(t, l_dev, lp, 6, d)
+            )
+            ks = (1, 4, 16) if d <= 2 else (1, 8, 32)
+            for content_name, img in (("render", render), ("noise", noise)):
+                mpix, fit = chiptime.measure_mpix(
+                    fn, img, n_pixels=n_px, ks=ks
+                )
+                layers_turbo[(content_name, d)] = (mpix, fit)
+
+    phases.run("turbo_layers", phase_turbo_layers)
+
+    # --- quality gates -------------------------------------------------------
     # (a) 512x1024 structured sinusoids (the round-1/2 gate content);
     # (b) the SHIPPING 4K tile configuration on render content, so a
-    #     tile-clamp bug at 4K zeroes the turbo contribution (VERDICT #6).
-    GATE_DB = 40.0
+    #     tile-clamp bug at 4K zeroes the contribution -- for ALL THREE turbo
+    #     families (bilateral round-2 VERDICT #6; NLM + layers round-3 #3/#4).
     yy, xx = np.mgrid[0:512, 0:1024].astype(np.float32)
     clean_s = np.stack(
         [
@@ -148,110 +311,254 @@ def main() -> None:
     nz[..., 3] = 1.0
     nz2 = (clean_s + rng.normal(0, 0.05, clean_s.shape)).astype(np.float32)
     nz2[..., 3] = 1.0
-    nz_d, nz2_d = jax.device_put(nz), jax.device_put(nz2)
-    exact_small = np.asarray(bilateral(nz_d, bp))[..., :3]
-    exact_4k = np.asarray(bilateral(render, bp))[..., :3]
 
-    gates = {}
-    gate_ok = {}
+    def phase_gates_bilateral():
+        nz_d = jax.device_put(nz)
+        exact_small = np.asarray(bilateral(nz_d, bp))[..., :3]
+        exact_4k = np.asarray(bilateral(render, bp))[..., :3]
+        for d, K in TURBO_SETTINGS:
+            db_small = ref.psnr(
+                np.asarray(bilateral_fast(nz_d, bp, K, d))[..., :3],
+                exact_small,
+            )
+            db_4k = ref.psnr(
+                np.asarray(bilateral_fast(render, bp, K, d))[..., :3],
+                exact_4k,
+            )
+            gates[(d, K)] = (db_small, db_4k)
+            gate_ok[(d, K)] = min(db_small, db_4k) >= GATE_DB
+
+    phases.run("gates_bilateral", phase_gates_bilateral)
+
+    nlm_gates: dict = {}
+    nlm_gate_ok: dict = {}
+
+    def phase_gates_nlm():
+        nz_d, nz2_d = jax.device_put(nz), jax.device_put(nz2)
+        exact_small = np.asarray(normalize(*nlm_accumulate(nz_d, nz2_d, nlp)))
+        # 4K gate through the SHIPPING Pallas tile path on render content
+        # (exact 4K NLM is one sub-second launch; round-3 VERDICT #4).
+        exact_4k = np.asarray(
+            normalize(*nlm_accumulate(render, render2, nlp))
+        )
+        for s_r, st in NLM_TURBO_SETTINGS:
+            nlp_g = NlmParams(
+                uniform_alpha=True, search_radius=s_r, search_stride=st
+            )
+            db_small = ref.psnr(
+                np.asarray(
+                    normalize(*nlm_accumulate(nz_d, nz2_d, nlp_g, bf16))
+                )[..., :3],
+                exact_small[..., :3],
+            )
+            db_4k = ref.psnr(
+                np.asarray(
+                    normalize(*nlm_accumulate(render, render2, nlp_g, bf16))
+                )[..., :3],
+                exact_4k[..., :3],
+            )
+            nlm_gates[(s_r, st)] = (db_small, db_4k)
+            nlm_gate_ok[(s_r, st)] = min(db_small, db_4k) >= GATE_DB
+
+    phases.run("gates_nlm", phase_gates_nlm)
+
+    layers_gates: dict = {}
+    layers_gate_ok: dict = {}
+
+    def phase_gates_layers():
+        # Sinusoid gate: guide = clean sinusoids, target = noisy realization.
+        nz_d = jax.device_put(nz)
+        guide_s = jax.device_put(clean_s)
+        exact_small = np.asarray(
+            normalize(*cross_bilateral_layers(nz_d, guide_s, lp))
+        )[..., :3]
+        # 4K gate: the layers battery unit on render content (clean guide).
+        l_dev = jax.device_put(layer_clean_h)
+        exact_4k = np.asarray(
+            normalize(*cross_bilateral_layers(render, l_dev, lp))
+        )[..., :3]
+        for d in LAYERS_TURBO_DS:
+            got_small = np.asarray(
+                normalize_layers_fast(
+                    *cross_bilateral_layers_fast(nz_d, guide_s, lp, 6, d)
+                )
+            )[..., :3]
+            got_4k = np.asarray(
+                normalize_layers_fast(
+                    *cross_bilateral_layers_fast(render, l_dev, lp, 6, d)
+                )
+            )[..., :3]
+            db_small = ref.psnr(got_small, exact_small)
+            db_4k = ref.psnr(got_4k, exact_4k)
+            layers_gates[d] = (db_small, db_4k)
+            layers_gate_ok[d] = min(db_small, db_4k) >= GATE_DB
+
+    phases.run("gates_layers", phase_gates_layers)
+
+    # --- exact-family regression checks on the chip --------------------------
+    failures: list[str] = []
+
+    def phase_exact_checks_oracle():
+        # (a) 96x128 vs the NumPy oracles (catches Mosaic math regressions).
+        small = np.asarray(rng.uniform(0, 1, (96, 128, 4)), np.float32)
+        small2 = np.asarray(rng.uniform(0, 1, (96, 128, 4)), np.float32)
+        sd, sd2 = jax.device_put(small), jax.device_put(small2)
+        checks = {}
+        bp_c = BilateralParams()
+        checks["bilateral"] = ref.psnr(
+            np.asarray(bilateral(sd, bp_c)),
+            ref.bilateral_reference(small, bp_c),
+        )
+        nlp_c = NlmParams()
+        wc_o, nw_o = ref.nlm_reference(small, small2, nlp_c)
+        wc_k, nw_k = nlm_accumulate(sd, sd2, nlp_c)
+        checks["nlm"] = ref.psnr(
+            np.asarray(normalize(wc_k, nw_k)),
+            ref.normalize_reference(wc_o, nw_o),
+        )
+        lp_c = LayersParams()
+        lwc_o, lnw_o = ref.cross_bilateral_layers_reference(small, small2, lp_c)
+        lwc_k, lnw_k = cross_bilateral_layers(sd, sd2, lp_c)
+        checks["layers"] = ref.psnr(
+            np.asarray(lwc_k), np.asarray(lwc_o).astype(np.float32)
+        )
+        checks["normalize"] = ref.psnr(
+            np.asarray(normalize(lwc_k, lnw_k)),
+            ref.normalize_reference(np.asarray(lwc_k), np.asarray(lnw_k)),
+        )
+        for name, db in checks.items():
+            if not (db >= 80.0):  # oracle-exact kernels sit way above this
+                failures.append(f"{name}:{db:.1f}dB")
+
+    phases.run("exact_checks_oracle", phase_exact_checks_oracle)
+
+    def phase_exact_checks_1080p():
+        # (b) 1080p-scale Pallas vs the XLA variants (same exact math through
+        # an independent lowering; both already compile on the chip) so a
+        # tile/halo/clamp bug at real shapes fails the record (VERDICT #7).
+        # The 96x128 oracle checks above cannot see 4K-scale tiling bugs.
+        hh, ww = 1080, 1920
+        ra = jax.device_put(np.ascontiguousarray(render_h[:hh, :ww]))
+        rb = jax.device_put(np.ascontiguousarray(render2_h[:hh, :ww]))
+        checks = {}
+        checks["bilateral_1080p"] = ref.psnr(
+            np.asarray(bilateral(ra, bp)), np.asarray(bilateral_xla(ra, bp))
+        )
+        wc_k, nw_k = nlm_accumulate(ra, rb, nlp)
+        wc_x, nw_x = nlm_xla(ra, rb, nlp)
+        checks["nlm_1080p"] = ref.psnr(
+            np.asarray(normalize(wc_k, nw_k)),
+            np.asarray(normalize(wc_x, nw_x)),
+        )
+        lwc_k, lnw_k = cross_bilateral_layers(ra, rb, lp)
+        lwc_x, lnw_x = cross_bilateral_layers_xla(ra, rb, lp)
+        checks["layers_1080p"] = ref.psnr(
+            np.asarray(normalize(lwc_k, lnw_k)),
+            np.asarray(normalize(lwc_x, lnw_x)),
+        )
+        for name, db in checks.items():
+            if not (db >= 80.0):
+                failures.append(f"{name}:{db:.1f}dB")
+
+    phases.run("exact_checks_1080p", phase_exact_checks_1080p)
+
+    # --- PSNR parity vs the CPU bilateral reference ---------------------------
+    def phase_parity():
+        # Our kernel in CPU-reference-params mode vs the CPU oracle (interior
+        # only -- the CPU path zeroes a radius-wide border, main.cpp:1823-28).
+        small = np.asarray(rng.uniform(0, 1, (96, 128, 4)), np.float32)
+        cp = CpuBilateralParams()
+        kernel_params = BilateralParams(
+            radius=cp.radius,
+            sigma_spatial=cp.sigma_spatial,
+            sigma_color=cp.sigma_color,
+            blue_bug=cp.blue_bug,
+        )
+        got = np.asarray(bilateral(jax.device_put(small), kernel_params))
+        want = ref.cpu_bilateral_reference(small, cp)
+        r = cp.radius
+        interior = (slice(r, -r), slice(r, -r), slice(0, 3))
+        put("psnr_parity_db", ref.psnr(got[interior], want[interior]))
+
+    phases.run("parity", phase_parity)
+
+    # --- assemble the record --------------------------------------------------
     for d, K in TURBO_SETTINGS:
-        db_small = ref.psnr(
-            np.asarray(bilateral_fast(nz_d, bp, K, d))[..., :3], exact_small
-        )
-        db_4k = ref.psnr(
-            np.asarray(bilateral_fast(render, bp, K, d))[..., :3], exact_4k
-        )
-        gates[(d, K)] = (db_small, db_4k)
-        gate_ok[(d, K)] = min(db_small, db_4k) >= GATE_DB
+        # K=6 keeps the round-2/3 field names; other K get a k suffix.
+        tag = f"turbo_d{d}" if K == 6 else f"turbo_d{d}k{K}"
+        if ("render", d, K) in turbo and ("noise", d, K) in turbo:
+            mpix_r, fit_r = turbo[("render", d, K)]
+            mpix_n_, fit_n_ = turbo[("noise", d, K)]
+            put(f"{tag}_4k_mpix_s", mpix_r)
+            out[f"{tag}_4k_spread"] = round(float(fit_r.spread), 3)
+            put(f"{tag}_4k_mpix_s_noise", mpix_n_)
+            out[f"{tag}_4k_spread_noise"] = round(float(fit_n_.spread), 3)
+        if (d, K) in gates:
+            put(f"{tag}_db_vs_exact", gates[(d, K)][0])
+            put(f"{tag}_db_vs_exact_4k", gates[(d, K)][1])
+            out[f"{tag}_gate_ok"] = bool(gate_ok.get((d, K), False))
 
-    exact_n_small = np.asarray(normalize(*nlm_accumulate(nz_d, nz2_d, nlp)))
-    nlm_gates = {}
-    nlm_gate_ok = {}
-    for s_r, st in NLM_TURBO_SETTINGS:
-        nlp_g = NlmParams(
-            uniform_alpha=True, search_radius=s_r, search_stride=st
+    if (7, 2) in nlm_turbo:
+        mpix_nt, fit_nt = nlm_turbo[(7, 2)]
+        put(
+            "nlm_turbo_4k_mpix_s",
+            mpix_nt if nlm_gate_ok.get((7, 2), False) else 0.0,
         )
-        db = ref.psnr(
-            np.asarray(normalize(*nlm_accumulate(nz_d, nz2_d, nlp_g, bf16)))[
-                ..., :3
-            ],
-            exact_n_small[..., :3],
-        )
-        nlm_gates[(s_r, st)] = db
-        nlm_gate_ok[(s_r, st)] = db >= GATE_DB
-    db_nt = nlm_gates[(7, 2)]
-    mpix_nt = nlm_turbo[(7, 2)] if nlm_gate_ok[(7, 2)] else 0.0
-    # Best gated NLM turbo row carries the geomean (same rule as bilateral).
-    best_nlm_turbo = max(
-        (nlm_turbo[k] for k in NLM_TURBO_SETTINGS if nlm_gate_ok[k]),
+        out["nlm_turbo_4k_spread"] = round(float(fit_nt.spread), 3)
+    if (7, 2) in nlm_gates:
+        put("nlm_turbo_db_vs_exact", nlm_gates[(7, 2)][0])
+        put("nlm_turbo_db_vs_exact_4k", nlm_gates[(7, 2)][1])
+    if (6, 2) in nlm_turbo:
+        mpix_s6, fit_s6 = nlm_turbo[(6, 2)]
+        put("nlm_turbo_s6_4k_mpix_s", mpix_s6)
+        out["nlm_turbo_s6_4k_spread"] = round(float(fit_s6.spread), 3)
+    if (6, 2) in nlm_gates:
+        put("nlm_turbo_s6_db_vs_exact", nlm_gates[(6, 2)][0])
+        put("nlm_turbo_s6_db_vs_exact_4k", nlm_gates[(6, 2)][1])
+        out["nlm_turbo_s6_gate_ok"] = bool(nlm_gate_ok.get((6, 2), False))
+
+    for d in LAYERS_TURBO_DS:
+        tag = f"layers_turbo_d{d}"
+        if ("render", d) in layers_turbo and ("noise", d) in layers_turbo:
+            mpix_r, fit_r = layers_turbo[("render", d)]
+            mpix_n_, fit_n_ = layers_turbo[("noise", d)]
+            put(f"{tag}_mpix_s", mpix_r)
+            out[f"{tag}_spread"] = round(float(fit_r.spread), 3)
+            put(f"{tag}_mpix_s_noise", mpix_n_)
+        if d in layers_gates:
+            put(f"{tag}_db_vs_exact", layers_gates[d][0])
+            put(f"{tag}_db_vs_exact_4k", layers_gates[d][1])
+            out[f"{tag}_gate_ok"] = bool(layers_gate_ok.get(d, False))
+        if not layers_gate_ok.get(d, False):
+            # Gate-failing (or unmeasured) layers rows zero their published
+            # throughput so a layers regression is visible in the record.
+            out[f"{tag}_mpix_s"] = 0.0
+
+    # Headline geomeans. The targets are reachable only by approximation: the
+    # measured elementwise ceiling of the chip caps any EXACT 1681-tap
+    # bilateral at ~128 Mpix/s and exact NLM at ~220 (docs/PERFORMANCE.md);
+    # both exact kernels run at >80% of those ceilings. Only gate-passing
+    # settings carry the geomean; gate-failing throughput is still published
+    # (with measured dB and gate_ok=false) rather than silently zeroed.
+    mpix_b = out.get("bilateral_4k_mpix_s", 0.0)
+    mpix_n = out.get("nlm_4k_mpix_s", 0.0)
+    vs_baseline = math.sqrt((mpix_b / 5000.0) * (mpix_n / 500.0))
+    gated = [k for k in TURBO_SETTINGS if gate_ok.get(k, False)]
+    best_turbo_render = max(
+        (turbo[("render", d, K)][0] for d, K in gated if ("render", d, K) in turbo),
         default=0.0,
     )
-
-    # --- exact-family regression checks on the chip (vs NumPy oracles) ---
-    failures = []
-    small = np.asarray(rng.uniform(0, 1, (96, 128, 4)), np.float32)
-    small2 = np.asarray(rng.uniform(0, 1, (96, 128, 4)), np.float32)
-    sd, sd2 = jax.device_put(small), jax.device_put(small2)
-    checks = {}
-    bp_c = BilateralParams()
-    checks["bilateral"] = ref.psnr(
-        np.asarray(bilateral(sd, bp_c)),
-        ref.bilateral_reference(small, bp_c),
-    )
-    nlp_c = NlmParams()
-    wc_o, nw_o = ref.nlm_reference(small, small2, nlp_c)
-    wc_k, nw_k = nlm_accumulate(sd, sd2, nlp_c)
-    checks["nlm"] = ref.psnr(
-        np.asarray(normalize(wc_k, nw_k)), ref.normalize_reference(wc_o, nw_o)
-    )
-    lp_c = LayersParams()
-    lwc_o, lnw_o = ref.cross_bilateral_layers_reference(small, small2, lp_c)
-    lwc_k, lnw_k = cross_bilateral_layers(sd, sd2, lp_c)
-    checks["layers"] = ref.psnr(
-        np.asarray(lwc_k), np.asarray(lwc_o).astype(np.float32)
-    )
-    checks["normalize"] = ref.psnr(
-        np.asarray(normalize(lwc_k, lnw_k)),
-        ref.normalize_reference(np.asarray(lwc_k), np.asarray(lnw_k)),
-    )
-    for name, db in checks.items():
-        if not (db >= 80.0):  # oracle-exact kernels sit way above this
-            failures.append(f"{name}:{db:.1f}dB")
-
-    # PSNR parity: our kernel in CPU-reference-params mode vs the CPU oracle
-    # (interior only -- the CPU path zeroes a radius-wide border,
-    # src/main.cpp:1823-1828).
-    cp = CpuBilateralParams()
-    kernel_params = BilateralParams(
-        radius=cp.radius,
-        sigma_spatial=cp.sigma_spatial,
-        sigma_color=cp.sigma_color,
-        blue_bug=cp.blue_bug,
-    )
-    got = np.asarray(bilateral(jax.device_put(small), kernel_params))
-    want = ref.cpu_bilateral_reference(small, cp)
-    r = cp.radius
-    interior = (slice(r, -r), slice(r, -r), slice(0, 3))
-    psnr = ref.psnr(got[interior], want[interior])
-
-    ratio_b = mpix_b / 5000.0
-    ratio_n = mpix_n / 500.0
-    vs_baseline = math.sqrt(ratio_b * ratio_n)
-    # Gated turbo geomean on the representative (render) content; the
-    # uniform-noise floors are published alongside. The targets are reachable
-    # only by approximation: the measured elementwise ceiling of the chip
-    # caps any EXACT 1681-tap bilateral at ~128 Mpix/s and exact NLM at ~220
-    # (docs/PERFORMANCE.md); both exact kernels run at >80% of those
-    # ceilings.
-    # Only gate-passing settings may carry the headline geomean; the raw
-    # throughput of gate-failing settings is still published (with its
-    # measured dB and gate_ok=false) rather than silently zeroed.
-    gated = [(d, K) for d, K in TURBO_SETTINGS if gate_ok[(d, K)]]
-    best_turbo_render = max(
-        (turbo[("render", d, K)] for d, K in gated), default=0.0
-    )
     best_turbo_noise = max(
-        (turbo[("noise", d, K)] for d, K in gated), default=0.0
+        (turbo[("noise", d, K)][0] for d, K in gated if ("noise", d, K) in turbo),
+        default=0.0,
+    )
+    best_nlm_turbo = max(
+        (
+            nlm_turbo[k][0]
+            for k in NLM_TURBO_SETTINGS
+            if nlm_gate_ok.get(k, False) and k in nlm_turbo
+        ),
+        default=0.0,
     )
     vs_baseline_turbo = math.sqrt(
         (best_turbo_render / 5000.0) * (best_nlm_turbo / 500.0)
@@ -263,33 +570,37 @@ def main() -> None:
         vs_baseline = 0.0
         vs_baseline_turbo = 0.0
         vs_baseline_turbo_noise = 0.0
+    out["exact_check_failures"] = failures
+    out["value"] = round(vs_baseline, 4)
+    out["vs_baseline"] = round(vs_baseline, 4)
+    out["vs_baseline_turbo_modes"] = round(vs_baseline_turbo, 4)
+    out["vs_baseline_turbo_modes_noise"] = round(vs_baseline_turbo_noise, 4)
+    if "phase_errors" in out:
+        out["degraded"] = True
 
-    out = {
-        "metric": "4K exact-kernel throughput, geomean of bilateral/5Gpix + NLM/0.5Gpix targets",
-        "value": round(vs_baseline, 4),
+
+def main() -> None:
+    out: dict = {
+        "metric": (
+            "4K exact-kernel throughput, geomean of bilateral/5Gpix + "
+            "NLM/0.5Gpix targets"
+        ),
+        "value": 0.0,
         "unit": "x-target",
-        "vs_baseline": round(vs_baseline, 4),
-        "bilateral_4k_mpix_s": round(mpix_b, 1),
-        "nlm_4k_mpix_s": round(mpix_n, 1),
-        "nlm_turbo_4k_mpix_s": round(mpix_nt, 1),
-        "nlm_turbo_db_vs_exact": round(db_nt, 1),
-        "nlm_turbo_s6_4k_mpix_s": round(nlm_turbo[(6, 2)], 1),
-        "nlm_turbo_s6_db_vs_exact": round(nlm_gates[(6, 2)], 1),
-        "nlm_turbo_s6_gate_ok": nlm_gate_ok[(6, 2)],
-        "vs_baseline_turbo_modes": round(vs_baseline_turbo, 4),
-        "vs_baseline_turbo_modes_noise": round(vs_baseline_turbo_noise, 4),
-        "psnr_parity_db": round(psnr, 1),
-        "exact_check_failures": failures,
+        "vs_baseline": 0.0,
     }
-    for d, K in TURBO_SETTINGS:
-        # K=6 keeps the round-2/3 field names; other K get a k suffix.
-        tag = f"turbo_d{d}" if K == 6 else f"turbo_d{d}k{K}"
-        out[f"{tag}_4k_mpix_s"] = round(turbo[("render", d, K)], 1)
-        out[f"{tag}_4k_mpix_s_noise"] = round(turbo[("noise", d, K)], 1)
-        out[f"{tag}_db_vs_exact"] = round(gates[(d, K)][0], 1)
-        out[f"{tag}_db_vs_exact_4k"] = round(gates[(d, K)][1], 1)
-        out[f"{tag}_gate_ok"] = gate_ok[(d, K)]
-    print(json.dumps(out))
+    try:
+        ok, attempts, err = _probe_backend(window_s=780.0)
+        out["backend_probe_attempts"] = attempts
+        if not ok:
+            out["error"] = f"backend never came up: {err}"
+            return
+        _measure(out)
+    except Exception as e:  # noqa: BLE001 -- the record must still emit
+        out["error"] = f"{type(e).__name__}: {e}"[:400]
+        out["degraded"] = True
+    finally:
+        print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -88,6 +88,37 @@ def test_nlm_s6_stride2_gate(rng):
     assert db >= 40.0, f"s=6 stride-2 NLM vs exact: {db:.1f} dB"
 
 
+@pytest.mark.parametrize("s_r,st", [(7, 2), (6, 2)])
+def test_nlm_turbo_pallas_path_gate(rng, s_r, st):
+    """The bench turbo NLM rows ship through the STRIDED PALLAS kernel with
+    bf16 taps (nlm_accumulate + TilingConfig bfloat16), not the XLA variant
+    the gates above exercise -- gate that exact path (interpret mode on CPU)
+    so a strided-kernel-specific quality bug cannot pass every test and still
+    carry the bench geomean (round-3 VERDICT #4)."""
+    from image_denoising_filter_tpu.config import NlmParams, TilingConfig
+    from image_denoising_filter_tpu.ops import nlm_accumulate, normalize
+
+    clean, noisy = _scene(rng)
+    bf16 = TilingConfig(compute_dtype="bfloat16")
+    exact = np.asarray(
+        normalize(*nlm_accumulate(noisy, noisy, NlmParams(uniform_alpha=True)))
+    )
+    fast = np.asarray(
+        normalize(
+            *nlm_accumulate(
+                noisy,
+                noisy,
+                NlmParams(
+                    uniform_alpha=True, search_radius=s_r, search_stride=st
+                ),
+                bf16,
+            )
+        )
+    )
+    db = ref.psnr(fast[..., :3], exact[..., :3])
+    assert db >= 40.0, f"s={s_r} stride-{st} Pallas NLM vs exact: {db:.1f} dB"
+
+
 def test_nlm_stride2_denoises_as_well_as_exact(rng):
     from image_denoising_filter_tpu.config import NlmParams
     from image_denoising_filter_tpu.ops import nlm_xla, normalize_xla
