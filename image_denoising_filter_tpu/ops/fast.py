@@ -296,6 +296,14 @@ def _default_slice_tile(d: int) -> tuple[int, int]:
     return (384 if d >= 4 else 256, 512 if d <= 2 else 1024)
 
 
+def _default_fused(d: int) -> bool:
+    """Whether the fully-fused build+slice kernel is the default pipeline at
+    this downsample (chip A/B, tools/fused_ab_r4.py). OFF everywhere until
+    the round-4 chip measurements land; the two-kernel pipeline remains the
+    sharded path's building block either way."""
+    return False
+
+
 def _grid_pipeline_planar(
     planar: jnp.ndarray,  # (4, H, W) float32
     params: BilateralParams,
@@ -306,8 +314,11 @@ def _grid_pipeline_planar(
     build_tile: tuple[int, int] | None = None,
     cull_mask: bool = True,
     out_dtype=jnp.float32,
+    fused: bool | None = None,
 ) -> jnp.ndarray:
-    """The fused Pallas grid pipeline: pool -> build grid -> slice.
+    """The Pallas grid pipeline: pool -> build grid -> slice, either as two
+    kernels (grid through HBM) or as the fully-fused single kernel
+    (_fused_grid_pipeline_planar, `fused=True`) -- value-identical.
 
     Factored out of `bilateral_fast_planar` so the sharded path
     (parallel.spatial.spatial_bilateral_fast) can reuse the exact same build +
@@ -325,6 +336,13 @@ def _grid_pipeline_planar(
     # 16-multiple (bf16 sublane tiling), or Mosaic rejects the tile index.
     tile_h = max(16 * d, min(tile_h, _round_up(h, 16 * d)))
     tile_w = max(128 * d, min(tile_w, _round_up(w, 128 * d)))
+    if fused is None:
+        fused = _default_fused(d)
+    if fused:
+        return _fused_grid_pipeline_planar(
+            planar, params, levels, d, tile_h, tile_w,
+            cull_mask=cull_mask, out_dtype=out_dtype,
+        )
     inv2sc = 0.5 / (params.sigma_color**2)
     ua = params.uniform_alpha
     mode = "edge" if params.border == BorderPolicy.CLAMP else "constant"
@@ -609,6 +627,300 @@ def _slice_grid_pallas(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_use_interpret(),
     )(guide, grid_p, lim, u_mat, v_mat)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused build+slice kernel (TPU): one pallas_call that, per SLICE tile,
+# DMAs the pooled halo window, constructs the needed grid levels entirely in
+# VMEM (same banded-matmul blur + bf16 storage as _build_grid_pallas, so the
+# values are bit-identical), and tent-slices them against the full-res guide.
+# vs the two-kernel pipeline this removes the whole grid HBM round-trip
+# (~74 MB write + slab re-read at 4K/d=2), one kernel launch + its XLA glue,
+# AND lets the per-tile level culling skip grid CONSTRUCTION, not just
+# slicing (the standalone build kernel must always compute all K levels).
+# Cost: the blur halo is recomputed per slice tile -- the same overhead ratio
+# the standalone build kernel pays per build tile at its swept tile sizes.
+# ---------------------------------------------------------------------------
+
+
+def _fused_grid_pipeline_planar(
+    planar: jnp.ndarray,  # (4, H, W) float32
+    params: BilateralParams,
+    levels: int,
+    d: int,
+    tile_h: int,
+    tile_w: int,
+    cull_mask: bool = True,
+    out_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """pool -> (range reduce) -> ONE fused build+slice Pallas kernel.
+
+    Same math as the two-kernel pipeline everywhere: the same pooled input
+    padding, banded blur matmuls, bf16 grid rounding, upsample matrices, and
+    the grid's (1, 1) edge replication reproduced in-kernel with boundary
+    row/col fixups. ONE deliberate difference: the telescoped tent sum is
+    based at g_{floor(tmin)} instead of g_0, so levels below the tile's guide
+    range are never BUILT at all (the low-level analog of the high-level
+    culling; the standalone build kernel must compute all K levels). For
+    tiles whose range touches level 0 (floor(tmin) == 0, e.g. any full-range
+    content) the level structure is identical to the two-kernel slice and
+    outputs agree to stored-cell bf16 rounding (XLA's f32 dot regroups
+    partial sums by contraction shape, and the fused blur window is 2 cells
+    taller than the standalone build tile -- measured ~1e-4 of pixels flip
+    one bf16 ulp; tested at the sharded-tests contract). Elsewhere the
+    rebasing additionally reassociates the bf16-rounded level deltas, a
+    <= ~2e-3-absolute difference (the same bf16 delta-rounding floor both
+    pipelines carry vs an f32 grid, ~20 dB below the turbo modes' 40 dB
+    quality gate; tested at that bound)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _, h, w = planar.shape
+    inv2sc = 0.5 / (params.sigma_color**2)
+    ua = params.uniform_alpha
+    mode = "edge" if params.border == BorderPolicy.CLAMP else "constant"
+    hp = -(-h // d) * d
+    wp = -(-w // d) * d
+    planar_p = jnp.pad(planar, ((0, 0), (0, hp - h), (0, wp - w)), mode=mode)
+    small = _pool_pallas(planar_p, d)
+    hs, ws = hp // d, wp // d
+    lmin = jnp.min(small[:3], axis=(1, 2))
+    lmax = jnp.max(small[:3], axis=(1, 2))
+    step = jnp.maximum(lmax - lmin, 1e-6) / (levels - 1)
+    taps = _grid_taps(params.sigma_spatial, d)
+    r = (len(taps) - 1) // 2
+
+    ghs, gws = tile_h // d, tile_w // d
+    wh, ww = ghs + 2, gws + 2  # grid-cell window incl. the +-1 edge cells
+    nh, nw = -(-h // tile_h), -(-w // tile_w)
+    ragged = (h % tile_h != 0) or (w % tile_w != 0)
+    nc = 3 if ua else 4
+
+    # Pooled input padded like _build_grid_pallas's (edge/zero per border
+    # policy): rh2 rows cover the window's 1-cell lead + blur halo with the
+    # DMA start kept at the aligned i*ghs; 128 lanes on each side keep the
+    # column DMA 128-aligned (the in-VMEM window slice is static).
+    rh2 = -(-(r + 1) // 4) * 4
+    padded = jnp.pad(
+        small,
+        (
+            (0, 0),
+            (rh2, nh * ghs + rh2 - hs),
+            (128, nw * gws + 128 - ws),
+        ),
+        mode=mode,
+    )
+
+    # Banded blur matrices at window size (identical construction to
+    # _build_grid_pallas, th->wh / tw->ww).
+    eh, ew = wh + 2 * r, ww + 2 * r
+    v_np = np.zeros((wh, eh), np.float32)
+    for a, t in enumerate(taps):
+        v_np[np.arange(wh), np.arange(wh) + a] += t
+    h_np = np.zeros((ew, ww), np.float32)
+    for b, t in enumerate(taps):
+        h_np[np.arange(ww) + b, np.arange(ww)] += t
+    v_blur = jnp.asarray(v_np)
+    h_blur = jnp.asarray(h_np)
+    # Upsample matrices (identical to _slice_grid_pallas's).
+    u_mat = jnp.asarray(_upsample_matrix(d, ww, tile_w)).astype(jnp.bfloat16)
+    v_mat = jnp.asarray(_upsample_matrix(d, wh, tile_h).T).astype(jnp.bfloat16)
+
+    # Window rows of the last real cell, for the in-kernel edge replication
+    # of cells beyond the pooled image (== the two-kernel path's grid edge
+    # pad): cells >= hs replicate cell hs-1, which sits at window row
+    # hs - i*ghs for the LAST tile row (the only one that can overrun).
+    q_last = hs - (nh - 1) * ghs  # in [1, ghs]
+    p_last = ws - (nw - 1) * gws
+
+    av = planar[3, 0, 0] if ua else jnp.float32(0.0)
+    lim = jnp.concatenate(
+        [
+            jnp.stack([lmin, step, 1.0 / step], axis=1),
+            jnp.stack(
+                [av.astype(jnp.float32), jnp.float32(0.0), jnp.float32(0.0)]
+            )[None],
+        ],
+        axis=0,
+    )  # (4, 3): rows 0-2 = (lmin, step, 1/step); row 3 = (alpha_const, -, -)
+
+    def kern(
+        guide_ref, small_hbm, lim_ref, vb_ref, hb_ref, u_ref, v_ref,
+        out_ref, tile, cells, acc, sem,
+    ):
+        i, j = pl.program_id(0), pl.program_id(1)
+        cp = pltpu.make_async_copy(
+            small_hbm.at[
+                :, pl.ds(i * ghs, ghs + 2 * rh2), pl.ds(j * gws, gws + 256)
+            ],
+            tile,
+            sem,
+        )
+        cp.start()
+        ts = []
+        for c in range(3):
+            t = (guide_ref[c] - lim_ref[c, 0]) * lim_ref[c, 2]
+            ts.append(jnp.clip(t, 0.0, float(levels - 1)))
+        # Per-tile culling bounds (identical to _slice_grid_pallas).
+        if cull_mask and ragged:
+            riota = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+            ciota = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+            valid = (riota < h - i * tile_h) & (ciota < w - j * tile_w)
+            mid = jnp.float32((levels - 1) * 0.5)
+            red = [jnp.where(valid, t, mid) for t in ts]
+            tmins = [jnp.min(t) for t in red]
+            tmaxs = [jnp.max(t) for t in red]
+        else:
+            tmins = []
+            tmaxs = []
+            for t in ts:
+                m, M = jnp.min(t), jnp.max(t)
+                tmins.append(jnp.where(m == m, m, jnp.float32(0.0)))
+                tmaxs.append(jnp.where(M == M, M, jnp.float32(levels - 1)))
+        # Base level per channel: the telescoped sum's full (ramp==1) deltas
+        # collapse into starting from g_{floor(tmin)} instead of g_0, so
+        # levels below floor(tmin) need not even be BUILT.
+        ms = [jnp.floor(t) for t in tmins]
+        cp.wait()
+        vb = vb_ref[:]
+        hb = hb_ref[:]
+        um = u_ref[:]
+        vm = v_ref[:]
+        r0 = rh2 - 1 - r  # window's blur-extended origin inside the tile
+        c0 = 128 - 1 - r
+        ext = [tile[c, r0 : r0 + eh, c0 : c0 + ew] for c in range(4)]
+
+        is_top = i == 0
+        is_bot = i == nh - 1
+        is_left = j == 0
+        is_right = j == nw - 1
+        wr = jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 0)
+        wc_i = jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 1)
+
+        def blur(x):
+            return jnp.dot(
+                jnp.dot(vb, x, preferred_element_type=jnp.float32),
+                hb,
+                preferred_element_type=jnp.float32,
+            )
+
+        def edge_fix(cell):
+            # Reproduce the two-kernel path's grid edge replication: window
+            # row 0 is cell -1 := cell 0 (first tile row only), rows past the
+            # last real cell replicate it (last tile row only); same for
+            # columns. Everywhere else the window holds real cells.
+            cell = jnp.where(
+                jnp.logical_and(wr == 0, is_top),
+                jnp.roll(cell, -1, axis=0),
+                cell,
+            )
+            cell = jnp.where(
+                jnp.logical_and(wr > q_last, is_bot),
+                cell[q_last : q_last + 1, :],
+                cell,
+            )
+            cell = jnp.where(
+                jnp.logical_and(wc_i == 0, is_left),
+                jnp.roll(cell, -1, axis=1),
+                cell,
+            )
+            cell = jnp.where(
+                jnp.logical_and(wc_i > p_last, is_right),
+                cell[:, p_last : p_last + 1],
+                cell,
+            )
+            return cell
+
+        def upsample(cell_bf16):
+            return jnp.dot(
+                vm,
+                jnp.dot(cell_bf16, um, preferred_element_type=jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+
+        for k in range(levels):
+            fk = jnp.float32(k)
+            for c in range(3):
+                # Build g_{k,c} only if this tile's guide range can touch it:
+                # k >= floor(tmin) (base or later) and k-1 < tmax (a ramp
+                # ending at k can still be active). EXACT: skipped levels
+                # have identically zero contribution on every pixel.
+                @pl.when(jnp.logical_and(fk >= ms[c], fk - 1.0 < tmaxs[c]))
+                def _build(k=k, c=c):
+                    lv = lim_ref[c, 0] + lim_ref[c, 1] * np.float32(k)
+                    dcol = ext[c] - lv
+                    wk = jnp.exp2(
+                        -(dcol * dcol) * jnp.float32(inv2sc * _LOG2E)
+                    )
+                    den = blur(wk)
+                    num = blur(wk * ext[c])
+                    safe = jnp.maximum(den, 1e-20)
+                    cells[k % 2, c] = edge_fix(
+                        (num / safe).astype(jnp.bfloat16)
+                    )
+                    if not ua and c == 1:
+                        na = blur(wk * ext[3])
+                        cells[k % 2, 3] = edge_fix(
+                            (na / safe).astype(jnp.bfloat16)
+                        )
+
+                @pl.when(ms[c] == fk)
+                def _base(k=k, c=c):
+                    acc[c] = upsample(cells[k % 2, c])
+                    if not ua and c == 1:
+                        acc[3] = upsample(cells[k % 2, 3])
+
+                if k > 0:
+                    kk = k - 1
+
+                    @pl.when(
+                        jnp.logical_and(
+                            tmaxs[c] > jnp.float32(kk),
+                            tmins[c] < jnp.float32(kk + 1),
+                        )
+                    )
+                    def _ramp(k=k, c=c, kk=kk):
+                        ramp = jnp.clip(ts[c] - kk, 0.0, 1.0)
+                        delta = cells[k % 2, c] - cells[(k + 1) % 2, c]
+                        acc[c] += ramp * upsample(delta)
+                        if not ua and c == 1:
+                            da = cells[k % 2, 3] - cells[(k + 1) % 2, 3]
+                            acc[3] += ramp * upsample(da)
+
+        for c in range(3):
+            out_ref[c] = acc[c].astype(out_ref.dtype)
+        if ua:
+            out_ref[3] = (
+                jnp.zeros((tile_h, tile_w), jnp.float32) + lim_ref[3, 0]
+            ).astype(out_ref.dtype)
+        else:
+            out_ref[3] = acc[3].astype(out_ref.dtype)
+
+    return pl.pallas_call(
+        kern,
+        grid=(nh, nw),
+        in_specs=[
+            pl.BlockSpec((3, tile_h, tile_w), lambda i, j: (0, i, j)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((4, 3), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, tile_h, tile_w), lambda i, j: (0, i, j)),
+        out_shape=jax.ShapeDtypeStruct((4, h, w), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((4, ghs + 2 * rh2, gws + 256), jnp.float32),
+            pltpu.VMEM((2, nc, wh, ww), jnp.bfloat16),
+            pltpu.VMEM((nc, tile_h, tile_w), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=_use_interpret(),
+    )(planar[:3], padded, lim, v_blur, h_blur, u_mat, v_mat)
 
 
 # ---------------------------------------------------------------------------

@@ -397,3 +397,117 @@ def test_slice_pad_edge_fold_equivalent(rng):
         fast._slice_guided_grid_pallas(planar[:3], ggrid_pre, *gargs)
     )
     np.testing.assert_array_equal(gfold, gexp)
+
+
+@pytest.mark.parametrize("ua", [True, False])
+@pytest.mark.parametrize("d", [2, 4, 8])
+def test_fused_pipeline_matches_two_kernel_full_range(rng, ua, d):
+    """Fused build+slice vs the two-kernel pipeline on FULL-RANGE content:
+    the full-res guide exceeds the pooled range in every tile, so t clips to
+    0 somewhere, floor(tmin) == 0, and the fused kernel's telescoped sum is
+    based at g_0 -- the same level structure as the two-kernel slice. The
+    only legitimate divergence is a stored-cell bf16 rounding flip: the blur
+    contraction length differs between the standalone build tile and the
+    fused window (74 vs 72 taps axis at d=2), and XLA's f32 dot regroups
+    partial sums by shape -- a ~1-f32-ulp shift that occasionally lands on a
+    bf16 rounding boundary (measured: 17 px of 172k, max 1.4e-3). Same
+    contract as the sharded turbo tests."""
+    import jax.numpy as jnp
+
+    from test_sharding import _assert_bf16_grid_close
+
+    from image_denoising_filter_tpu.ops import fast
+
+    h, w = 112, 384  # ragged at every d's tile floor
+    noisy = rng.uniform(0, 1, (h, w, 4)).astype(np.float32)
+    if ua:
+        noisy[..., 3] = 1.0
+    bp = BilateralParams(uniform_alpha=ua)
+    planar = jnp.transpose(jnp.asarray(noisy), (2, 0, 1))
+    two = np.asarray(fast._grid_pipeline_planar(planar, bp, 6, d, fused=False))
+    fused = np.asarray(fast._grid_pipeline_planar(planar, bp, 6, d, fused=True))
+    _assert_bf16_grid_close(fused, two)
+
+
+def test_fused_pipeline_odd_shape_matches(rng):
+    import jax.numpy as jnp
+
+    from test_sharding import _assert_bf16_grid_close
+
+    from image_denoising_filter_tpu.ops import fast
+
+    noisy = rng.uniform(0, 1, (97, 131, 4)).astype(np.float32)
+    planar = jnp.transpose(jnp.asarray(noisy), (2, 0, 1))
+    bp = BilateralParams()
+    two = np.asarray(fast._grid_pipeline_planar(planar, bp, 8, 2, fused=False))
+    fused = np.asarray(fast._grid_pipeline_planar(planar, bp, 8, 2, fused=True))
+    _assert_bf16_grid_close(fused, two)
+
+
+def test_fused_pipeline_rebased_tiles_within_delta_floor(rng):
+    """Structured content with a bright tile (local guide range away from
+    level 0): the fused kernel bases its telescoped sum at g_{floor(tmin)},
+    reassociating the bf16-rounded level deltas vs the two-kernel path's
+    fixed g_0 base. The divergence must stay at the bf16 delta-rounding
+    floor (<= ~2e-3 absolute -- the same floor both pipelines carry vs an
+    f32 grid), ~20 dB below the 40 dB turbo quality gate."""
+    import jax.numpy as jnp
+
+    from image_denoising_filter_tpu.ops import fast
+
+    h, w = 512, 512  # two 256-row tiles at d=2
+    yy = np.mgrid[0:h, 0:w][0].astype(np.float32) / (h - 1)
+    base = np.where(yy < 0.5, 0.15 + 0.1 * yy, 0.85 + 0.1 * (yy - 0.5))
+    img = np.stack([base, base * 0.9 + 0.05, base * 0.8 + 0.1,
+                    np.ones_like(base)], -1).astype(np.float32)
+    img[..., :3] += rng.normal(0, 0.02, (h, w, 3)).astype(np.float32)
+    img[..., :3] = np.clip(img[..., :3], 0, 1)
+    bp = BilateralParams(uniform_alpha=True)
+    planar = jnp.transpose(jnp.asarray(img), (2, 0, 1))
+    two = np.asarray(fast._grid_pipeline_planar(planar, bp, 6, 2, fused=False))
+    fused = np.asarray(fast._grid_pipeline_planar(planar, bp, 6, 2, fused=True))
+    diff = np.abs(fused - two).max()
+    assert diff <= 2e-3, f"fused rebased divergence {diff:.2e} > 2e-3"
+
+
+@pytest.mark.parametrize("d", [2, 4])
+def test_fused_cull_mask_variants_identical(rng, d):
+    """cull_mask only changes how the culling bounds handle ragged-block
+    garbage; on the fused kernel (where the bounds also gate grid
+    CONSTRUCTION) the two variants must still produce identical output."""
+    import jax.numpy as jnp
+
+    from image_denoising_filter_tpu.ops import fast
+
+    noisy = rng.uniform(0, 1, (112, 384, 4)).astype(np.float32)
+    bp = BilateralParams()
+    planar = jnp.transpose(jnp.asarray(noisy), (2, 0, 1))
+    a = np.asarray(
+        fast._grid_pipeline_planar(planar, bp, 6, d, fused=True, cull_mask=True)
+    )
+    b = np.asarray(
+        fast._grid_pipeline_planar(planar, bp, 6, d, fused=True, cull_mask=False)
+    )
+    np.testing.assert_array_equal(a, b)
+
+
+def test_fused_pipeline_zero_border_and_bf16_out(rng):
+    import jax.numpy as jnp
+
+    from image_denoising_filter_tpu.config import BorderPolicy
+    from image_denoising_filter_tpu.ops import fast
+
+    noisy = rng.uniform(0, 1, (96, 256, 4)).astype(np.float32)
+    bp = BilateralParams(border=BorderPolicy.ZERO)
+    planar = jnp.transpose(jnp.asarray(noisy), (2, 0, 1))
+    from test_sharding import _assert_bf16_grid_close
+
+    two = np.asarray(fast._grid_pipeline_planar(planar, bp, 6, 2, fused=False))
+    fused = np.asarray(fast._grid_pipeline_planar(planar, bp, 6, 2, fused=True))
+    _assert_bf16_grid_close(fused, two)
+    fb = np.asarray(
+        fast._grid_pipeline_planar(
+            planar, bp, 6, 2, fused=True, out_dtype=jnp.bfloat16
+        )
+    ).astype(np.float32)
+    assert np.abs(fb - two).max() <= 4e-3  # one bf16 output rounding
