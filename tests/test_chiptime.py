@@ -51,12 +51,31 @@ def test_slope_fit_mechanics():
 
     x0 = jnp.ones((8, 128), jnp.float32)
     fit = chiptime.slope_time(
-        lambda x: x * 1.0001, x0, ks=(1, 2, 4), repeats=2
+        lambda x: x * 1.0001, x0, ks=(1, 2, 4), repeats=2, auto_extend=False
     )
     assert fit.slope > 0
     assert set(fit.samples) == {1, 2, 4}
     assert all(len(v) == 2 for v in fit.samples.values())
     mpix, fit2 = chiptime.measure_mpix(
-        lambda x: x * 1.0001, x0, n_pixels=8 * 128, ks=(1, 2), repeats=1
+        lambda x: x * 1.0001, x0, n_pixels=8 * 128, ks=(1, 2), repeats=1,
+        auto_extend=False,
     )
     assert mpix > 0
+
+
+def test_slope_fit_auto_extend_adds_longer_chain():
+    """When the fit spread exceeds the target (always true for a trivially
+    fast fn on CPU wall-clock noise), auto_extend must sample one chain 2x
+    the longest k and keep whichever fit has the lower spread (round-3
+    VERDICT weak #6: rows near the resolution floor chain longer instead of
+    publishing a noisy point)."""
+    import jax.numpy as jnp
+
+    x0 = jnp.ones((8, 128), jnp.float32)
+    fit = chiptime.slope_time(
+        lambda x: x * 1.0001, x0, ks=(1, 2, 4), repeats=2,
+        auto_extend=True, spread_target=0.0,  # force the extension path
+    )
+    assert set(fit.samples) == {1, 2, 4, 8}
+    assert len(fit.samples[8]) == 2
+    assert len(fit.samples[1]) == 4  # the extension round resamples all ks
