@@ -304,6 +304,12 @@ def _default_fused(d: int) -> bool:
     return False
 
 
+def _default_guided_fused(d: int) -> bool:
+    """Same decision for the guided-layers pipeline's fused build+slice
+    kernel (chip A/B, tools/fused_guided_ab_r4.py). OFF until measured."""
+    return False
+
+
 def _grid_pipeline_planar(
     planar: jnp.ndarray,  # (4, H, W) float32
     params: BilateralParams,
@@ -1312,13 +1318,259 @@ def _slice_guided_grid_pallas(
     )(guide, grid_p, lim, u_mat, v_mat)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _fused_guided_pipeline_planar(
+    t_planar: jnp.ndarray,  # (4, H, W) float32 target (payload)
+    l_planar: jnp.ndarray,  # (4, H, W) float32 layer (guide)
+    params,
+    levels: int,
+    d: int,
+    tile_h: int,
+    tile_w: int,
+    cull_mask: bool = True,
+) -> jnp.ndarray:
+    """pool both -> (range reduce) -> ONE fused guided build+slice kernel.
+
+    The guided analog of `_fused_grid_pipeline_planar`: per slice tile, DMA
+    the pooled target+layer halo window, construct only the culling-needed
+    7-plane grid levels in VMEM (num_r num_g num_b num_a den_r den_g den_b;
+    same banded-matmul blur + bf16 rounding as `_build_guided_grid_pallas`),
+    and tent-slice them with ramps from the full-res LAYER guide -- no 7K-
+    plane grid HBM round-trip (the 42-plane bf16 grid is the largest HBM
+    object in the two-kernel guided pipeline). Returns the (7, H, W) f32
+    UNNORMALIZED partials of `_slice_guided_grid_pallas` so per-layer
+    accumulation across layers is unchanged (src/main.cpp:1608-1624 parity
+    structure). The telescoped sum is rebased at g_{floor(tmin)} per channel
+    exactly as in the fused bilateral kernel (same two benign bf16
+    divergence sources, tested at the same contract)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _, h, w = t_planar.shape
+    inv2sc = 0.5 / (params.sigma_color**2)
+    mode = "edge" if params.border == BorderPolicy.CLAMP else "constant"
+    hp = -(-h // d) * d
+    wp = -(-w // d) * d
+    t_p = jnp.pad(t_planar, ((0, 0), (0, hp - h), (0, wp - w)), mode=mode)
+    l_p = jnp.pad(l_planar, ((0, 0), (0, hp - h), (0, wp - w)), mode=mode)
+    small_t = _pool_pallas(t_p, d)
+    small_l = _pool_pallas(l_p, d)
+    hs, ws = hp // d, wp // d
+    lmin = jnp.min(small_l[:3], axis=(1, 2))
+    lmax = jnp.max(small_l[:3], axis=(1, 2))
+    step = jnp.maximum(lmax - lmin, 1e-6) / (levels - 1)
+    taps = _grid_taps(params.sigma_spatial, d)
+    r = (len(taps) - 1) // 2
+
+    ghs, gws = tile_h // d, tile_w // d
+    wh, ww = ghs + 2, gws + 2
+    nh, nw = -(-h // tile_h), -(-w // tile_w)
+    ragged = (h % tile_h != 0) or (w % tile_w != 0)
+
+    # One stacked (7, hs, ws) pooled array = one window DMA per tile:
+    # planes 0-3 = pooled target (payload), 4-6 = pooled layer rgb (guide).
+    stacked = jnp.concatenate([small_t, small_l[:3]], axis=0)
+    rh2 = -(-(r + 1) // 4) * 4
+    padded = jnp.pad(
+        stacked,
+        (
+            (0, 0),
+            (rh2, nh * ghs + rh2 - hs),
+            (128, nw * gws + 128 - ws),
+        ),
+        mode=mode,
+    )
+
+    eh, ew = wh + 2 * r, ww + 2 * r
+    v_np = np.zeros((wh, eh), np.float32)
+    for a, t in enumerate(taps):
+        v_np[np.arange(wh), np.arange(wh) + a] += t
+    h_np = np.zeros((ew, ww), np.float32)
+    for b, t in enumerate(taps):
+        h_np[np.arange(ww) + b, np.arange(ww)] += t
+    v_blur = jnp.asarray(v_np)
+    h_blur = jnp.asarray(h_np)
+    u_mat = jnp.asarray(_upsample_matrix(d, ww, tile_w)).astype(jnp.bfloat16)
+    v_mat = jnp.asarray(_upsample_matrix(d, wh, tile_h).T).astype(jnp.bfloat16)
+
+    q_last = hs - (nh - 1) * ghs
+    p_last = ws - (nw - 1) * gws
+    lim = jnp.stack([lmin, step, 1.0 / step], axis=1)  # (3, 3)
+
+    def kern(
+        guide_ref, small_hbm, lim_ref, vb_ref, hb_ref, u_ref, v_ref,
+        out_ref, tile, cells, acc, sem,
+    ):
+        i, j = pl.program_id(0), pl.program_id(1)
+        cp = pltpu.make_async_copy(
+            small_hbm.at[
+                :, pl.ds(i * ghs, ghs + 2 * rh2), pl.ds(j * gws, gws + 256)
+            ],
+            tile,
+            sem,
+        )
+        cp.start()
+        ts = []
+        for c in range(3):
+            t = (guide_ref[c] - lim_ref[c, 0]) * lim_ref[c, 2]
+            ts.append(jnp.clip(t, 0.0, float(levels - 1)))
+        if cull_mask and ragged:
+            riota = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+            ciota = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+            valid = (riota < h - i * tile_h) & (ciota < w - j * tile_w)
+            mid = jnp.float32((levels - 1) * 0.5)
+            red = [jnp.where(valid, t, mid) for t in ts]
+            tmins = [jnp.min(t) for t in red]
+            tmaxs = [jnp.max(t) for t in red]
+        else:
+            tmins = []
+            tmaxs = []
+            for t in ts:
+                m, M = jnp.min(t), jnp.max(t)
+                tmins.append(jnp.where(m == m, m, jnp.float32(0.0)))
+                tmaxs.append(jnp.where(M == M, M, jnp.float32(levels - 1)))
+        ms = [jnp.floor(t) for t in tmins]
+        cp.wait()
+        vb = vb_ref[:]
+        hb = hb_ref[:]
+        um = u_ref[:]
+        vm = v_ref[:]
+        r0 = rh2 - 1 - r
+        c0 = 128 - 1 - r
+        ext_t = [tile[c, r0 : r0 + eh, c0 : c0 + ew] for c in range(4)]
+        ext_l = [tile[4 + c, r0 : r0 + eh, c0 : c0 + ew] for c in range(3)]
+
+        is_top = i == 0
+        is_bot = i == nh - 1
+        is_left = j == 0
+        is_right = j == nw - 1
+        wr = jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 0)
+        wc_i = jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 1)
+
+        def blur(x):
+            return jnp.dot(
+                jnp.dot(vb, x, preferred_element_type=jnp.float32),
+                hb,
+                preferred_element_type=jnp.float32,
+            )
+
+        def edge_fix(cell):
+            # Same in-kernel reproduction of the two-kernel path's grid edge
+            # replication as _fused_grid_pipeline_planar.
+            cell = jnp.where(
+                jnp.logical_and(wr == 0, is_top),
+                jnp.roll(cell, -1, axis=0),
+                cell,
+            )
+            cell = jnp.where(
+                jnp.logical_and(wr > q_last, is_bot),
+                cell[q_last : q_last + 1, :],
+                cell,
+            )
+            cell = jnp.where(
+                jnp.logical_and(wc_i == 0, is_left),
+                jnp.roll(cell, -1, axis=1),
+                cell,
+            )
+            cell = jnp.where(
+                jnp.logical_and(wc_i > p_last, is_right),
+                cell[:, p_last : p_last + 1],
+                cell,
+            )
+            return cell
+
+        def upsample(cell_bf16):
+            return jnp.dot(
+                vm,
+                jnp.dot(cell_bf16, um, preferred_element_type=jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+
+        # cells plane layout per parity slot: 0-2 num_rgb, 3 num_a, 4-6 den.
+        for k in range(levels):
+            fk = jnp.float32(k)
+            for c in range(3):
+                @pl.when(jnp.logical_and(fk >= ms[c], fk - 1.0 < tmaxs[c]))
+                def _build(k=k, c=c):
+                    lv = lim_ref[c, 0] + lim_ref[c, 1] * np.float32(k)
+                    dcol = ext_l[c] - lv
+                    wk = jnp.exp2(
+                        -(dcol * dcol) * jnp.float32(inv2sc * _LOG2E)
+                    )
+                    cells[k % 2, c] = edge_fix(
+                        blur(wk * ext_t[c]).astype(jnp.bfloat16)
+                    )
+                    cells[k % 2, 4 + c] = edge_fix(
+                        blur(wk).astype(jnp.bfloat16)
+                    )
+                    if c == 1:
+                        cells[k % 2, 3] = edge_fix(
+                            blur(wk * ext_t[3]).astype(jnp.bfloat16)
+                        )
+
+                @pl.when(ms[c] == fk)
+                def _base(k=k, c=c):
+                    acc[c] = upsample(cells[k % 2, c])
+                    acc[4 + c] = upsample(cells[k % 2, 4 + c])
+                    if c == 1:
+                        acc[3] = upsample(cells[k % 2, 3])
+
+                if k > 0:
+                    kk = k - 1
+
+                    @pl.when(
+                        jnp.logical_and(
+                            tmaxs[c] > jnp.float32(kk),
+                            tmins[c] < jnp.float32(kk + 1),
+                        )
+                    )
+                    def _ramp(k=k, c=c, kk=kk):
+                        ramp = jnp.clip(ts[c] - kk, 0.0, 1.0)
+                        delta = cells[k % 2, c] - cells[(k + 1) % 2, c]
+                        acc[c] += ramp * upsample(delta)
+                        dden = cells[k % 2, 4 + c] - cells[(k + 1) % 2, 4 + c]
+                        acc[4 + c] += ramp * upsample(dden)
+                        if c == 1:
+                            da = cells[k % 2, 3] - cells[(k + 1) % 2, 3]
+                            acc[3] += ramp * upsample(da)
+
+        for p_idx in range(7):
+            out_ref[p_idx] = acc[p_idx]
+
+    return pl.pallas_call(
+        kern,
+        grid=(nh, nw),
+        in_specs=[
+            pl.BlockSpec((3, tile_h, tile_w), lambda i, j: (0, i, j)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((3, 3), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((7, tile_h, tile_w), lambda i, j: (0, i, j)),
+        out_shape=jax.ShapeDtypeStruct((7, h, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((7, ghs + 2 * rh2, gws + 256), jnp.float32),
+            pltpu.VMEM((2, 7, wh, ww), jnp.bfloat16),
+            pltpu.VMEM((7, tile_h, tile_w), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=_use_interpret(),
+    )(l_planar[:3], padded, lim, v_blur, h_blur, u_mat, v_mat)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def cross_bilateral_layers_fast(
     target: jnp.ndarray,
     layer: jnp.ndarray,
     params=None,
     levels: int = 6,
     downsample: int = 2,
+    fused: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """TURBO cross-bilateral partials for ONE layer: (H, W, 4) target +
     (H, W, 4) layer -> (weightColor (H, W, 4), normWeight (H, W, 3)).
@@ -1327,7 +1579,8 @@ def cross_bilateral_layers_fast(
     `normalize_layers_fast`. normWeight is PER-CHANNEL (the per-channel-guide
     approximation; the exact kernel's normWeight is one scalar from the joint
     RGB weight). Mirrors shaders/bialteral_layers.comp's role in the
-    accumulate-then-normalize pipeline."""
+    accumulate-then-normalize pipeline. `fused` selects the single-kernel
+    build+slice path (default per `_default_guided_fused`)."""
     from ..config import LayersParams
 
     if params is None:
@@ -1336,6 +1589,19 @@ def cross_bilateral_layers_fast(
     l_planar = jnp.transpose(layer.astype(jnp.float32), (2, 0, 1))
     _, h, w = t_planar.shape
     d = max(1, downsample)
+    if fused is None:
+        fused = _default_guided_fused(d)
+    if fused:
+        dth, dtw = _default_slice_tile(d)
+        tile_h = max(16 * d, min(dth, _round_up(h, 16 * d)))
+        tile_w = max(128 * d, min(dtw, _round_up(w, 128 * d)))
+        planes = _fused_guided_pipeline_planar(
+            t_planar, l_planar, params, levels, d, tile_h, tile_w
+        )
+        return (
+            jnp.transpose(planes[:4], (1, 2, 0)),
+            jnp.transpose(planes[4:], (1, 2, 0)),
+        )
     inv2sc = 0.5 / (params.sigma_color**2)
     mode = "edge" if params.border == BorderPolicy.CLAMP else "constant"
 

@@ -511,3 +511,86 @@ def test_fused_pipeline_zero_border_and_bf16_out(rng):
         )
     ).astype(np.float32)
     assert np.abs(fb - two).max() <= 4e-3  # one bf16 output rounding
+
+
+@pytest.mark.parametrize("d", [2, 4])
+def test_fused_guided_matches_two_kernel_full_range(rng, d):
+    """Fused guided build+slice vs the two-kernel guided pipeline on
+    FULL-RANGE layer content (floor(tmin) == 0 in every tile -> identical
+    level structure; see test_fused_pipeline_matches_two_kernel_full_range).
+    Compared on the unnormalized partials AND the normalized output, at the
+    stored-grid bf16 contract."""
+    import jax.numpy as jnp
+
+    from test_sharding import _assert_bf16_grid_close
+
+    from image_denoising_filter_tpu.config import LayersParams
+    from image_denoising_filter_tpu.ops import fast
+
+    h, w = 112, 384  # ragged at every d's tile floor
+    noisy = rng.uniform(0, 1, (h, w, 4)).astype(np.float32)
+    layer = rng.uniform(0, 1, (h, w, 4)).astype(np.float32)
+    lp = LayersParams()
+    t_d, l_d = jnp.asarray(noisy), jnp.asarray(layer)
+    wc2, nw2 = fast.cross_bilateral_layers_fast(t_d, l_d, lp, 6, d, fused=False)
+    wcf, nwf = fast.cross_bilateral_layers_fast(t_d, l_d, lp, 6, d, fused=True)
+    _assert_bf16_grid_close(np.asarray(wcf), np.asarray(wc2))
+    _assert_bf16_grid_close(np.asarray(nwf), np.asarray(nw2))
+    out2 = np.asarray(fast.normalize_layers_fast(wc2, nw2))
+    outf = np.asarray(fast.normalize_layers_fast(wcf, nwf))
+    _assert_bf16_grid_close(outf, out2)
+
+
+def test_fused_guided_odd_shape_matches(rng):
+    """Odd (ragged at 16*d and 128*d) shapes + levels=8 through the fused
+    guided kernel's boundary fixups."""
+    import jax.numpy as jnp
+
+    from test_sharding import _assert_bf16_grid_close
+
+    from image_denoising_filter_tpu.config import LayersParams
+    from image_denoising_filter_tpu.ops import fast
+
+    h, w = 118, 410
+    noisy = rng.uniform(0, 1, (h, w, 4)).astype(np.float32)
+    layer = rng.uniform(0, 1, (h, w, 4)).astype(np.float32)
+    lp = LayersParams()
+    t_d, l_d = jnp.asarray(noisy), jnp.asarray(layer)
+    wc2, nw2 = fast.cross_bilateral_layers_fast(t_d, l_d, lp, 8, 2, fused=False)
+    wcf, nwf = fast.cross_bilateral_layers_fast(t_d, l_d, lp, 8, 2, fused=True)
+    _assert_bf16_grid_close(np.asarray(wcf), np.asarray(wc2))
+    _assert_bf16_grid_close(np.asarray(nwf), np.asarray(nw2))
+
+
+def test_fused_guided_rebased_tiles_within_delta_floor(rng):
+    """Structured LAYER guide with a bright region (local guide range away
+    from level 0): the fused guided kernel rebases its telescoped sum at
+    g_{floor(tmin)} per channel. Unlike the bilateral grid (normalized
+    in-kernel per level), the guided grid rebases the UNNORMALIZED num and
+    den separately and the final quotient amplifies their bf16
+    delta-rounding by ~1/den -- so the floor is ~2x the bilateral one
+    (measured 2.5e-3; bound 4e-3, a ~48 dB WORST-PIXEL floor -- the 40 dB
+    turbo gates measure PSNR, which sits far above it; see
+    test_fused_pipeline_rebased_tiles_within_delta_floor)."""
+    import jax.numpy as jnp
+
+    from image_denoising_filter_tpu.config import LayersParams
+    from image_denoising_filter_tpu.ops import fast
+
+    h, w = 512, 512  # two 256-row tiles at d=2
+    yy = np.mgrid[0:h, 0:w][0].astype(np.float32) / (h - 1)
+    base = np.where(yy < 0.5, 0.15 + 0.1 * yy, 0.85 + 0.1 * (yy - 0.5))
+    layer = np.stack([base, base * 0.9 + 0.05, base * 0.8 + 0.1,
+                      np.ones_like(base)], -1).astype(np.float32)
+    noisy = np.clip(
+        layer + rng.normal(0, 0.05, layer.shape), 0, 1
+    ).astype(np.float32)
+    noisy[..., 3] = 1.0
+    lp = LayersParams()
+    t_d, l_d = jnp.asarray(noisy), jnp.asarray(layer)
+    wc2, nw2 = fast.cross_bilateral_layers_fast(t_d, l_d, lp, 6, 2, fused=False)
+    wcf, nwf = fast.cross_bilateral_layers_fast(t_d, l_d, lp, 6, 2, fused=True)
+    out2 = np.asarray(fast.normalize_layers_fast(wc2, nw2))
+    outf = np.asarray(fast.normalize_layers_fast(wcf, nwf))
+    diff = np.abs(outf - out2).max()
+    assert diff <= 4e-3, f"fused guided rebased divergence {diff:.2e} > 4e-3"
