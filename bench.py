@@ -61,11 +61,21 @@ GATE_DB = 40.0
 # Session.run_turbo(levels=) knob. K=6 == K=8 quality (25% faster); (4, 5)
 # measures IDENTICAL dB to (4, 6) on both gate contents and ~5% faster still.
 TURBO_SETTINGS = ((2, 6), (4, 6), (4, 5), (8, 6))  # (downsample, levels)
-# NLM turbo settings: (search_radius, search_stride). (7, 2) is the default
-# (49 of 196 candidates); (6, 2) trims to 36 -- 41.0 dB vs exact on the gate
-# content (stride 3 and s=5 fail the gate; docs/PERFORMANCE.md negative
-# results). The best GATED row carries the geomean.
-NLM_TURBO_SETTINGS = ((7, 2), (6, 2))
+# NLM turbo settings: (search_radius, search_stride, search_disk). (7, 2)
+# is the default (49 of 196 candidates); (6, 2) trims to 36 -- 41.0 dB vs
+# exact on the gate content; (7, 2, disk) trims to 37 with the corners
+# dropped instead of the radius -- 41.6/41.8 dB on the two gate contents in
+# the round-4 CPU screen (stride 3 and s=5 fail the gate;
+# docs/PERFORMANCE.md negative results). The best GATED row carries the
+# geomean. (6, 2, disk) keeps just 27 candidates and still passed the CPU
+# screen at 40.5 dB -- thin margin, so it rides as a fourth row that only
+# carries the geomean if it gates at 4K on-chip.
+NLM_TURBO_SETTINGS = (
+    (7, 2, False),
+    (6, 2, False),
+    (7, 2, True),
+    (6, 2, True),
+)
 # Guided-layers turbo downsamples (per-layer unit of the layers battery
 # config, /root/reference/src/main.cpp:1957; round-3 VERDICT #3).
 LAYERS_TURBO_DS = (2, 4)
@@ -257,9 +267,12 @@ def _measure(out: dict) -> None:
     nlm_turbo: dict = {}
 
     def phase_turbo_nlm():
-        for s_r, st in NLM_TURBO_SETTINGS:
+        for s_r, st, disk in NLM_TURBO_SETTINGS:
             nlp_t = NlmParams(
-                uniform_alpha=True, search_radius=s_r, search_stride=st
+                uniform_alpha=True,
+                search_radius=s_r,
+                search_stride=st,
+                search_disk=disk,
             )
             mpix, fit = chiptime.measure_mpix(
                 lambda nb, p=nlp_t: nlm_accumulate(noise, nb, p, bf16)[0],
@@ -267,7 +280,7 @@ def _measure(out: dict) -> None:
                 n_pixels=n_px,
                 ks=(1, 4, 10),
             )
-            nlm_turbo[(s_r, st)] = (mpix, fit)
+            nlm_turbo[(s_r, st, disk)] = (mpix, fit)
 
     phases.run("turbo_nlm", phase_turbo_nlm)
 
@@ -341,9 +354,12 @@ def _measure(out: dict) -> None:
         exact_4k = np.asarray(
             normalize(*nlm_accumulate(render, render2, nlp))
         )
-        for s_r, st in NLM_TURBO_SETTINGS:
+        for s_r, st, disk in NLM_TURBO_SETTINGS:
             nlp_g = NlmParams(
-                uniform_alpha=True, search_radius=s_r, search_stride=st
+                uniform_alpha=True,
+                search_radius=s_r,
+                search_stride=st,
+                search_disk=disk,
             )
             db_small = ref.psnr(
                 np.asarray(
@@ -357,8 +373,8 @@ def _measure(out: dict) -> None:
                 )[..., :3],
                 exact_4k[..., :3],
             )
-            nlm_gates[(s_r, st)] = (db_small, db_4k)
-            nlm_gate_ok[(s_r, st)] = min(db_small, db_4k) >= GATE_DB
+            nlm_gates[(s_r, st, disk)] = (db_small, db_4k)
+            nlm_gate_ok[(s_r, st, disk)] = min(db_small, db_4k) >= GATE_DB
 
     phases.run("gates_nlm", phase_gates_nlm)
 
@@ -498,24 +514,27 @@ def _measure(out: dict) -> None:
             put(f"{tag}_db_vs_exact_4k", gates[(d, K)][1])
             out[f"{tag}_gate_ok"] = bool(gate_ok.get((d, K), False))
 
-    if (7, 2) in nlm_turbo:
-        mpix_nt, fit_nt = nlm_turbo[(7, 2)]
-        put(
-            "nlm_turbo_4k_mpix_s",
-            mpix_nt if nlm_gate_ok.get((7, 2), False) else 0.0,
-        )
-        out["nlm_turbo_4k_spread"] = round(float(fit_nt.spread), 3)
-    if (7, 2) in nlm_gates:
-        put("nlm_turbo_db_vs_exact", nlm_gates[(7, 2)][0])
-        put("nlm_turbo_db_vs_exact_4k", nlm_gates[(7, 2)][1])
-    if (6, 2) in nlm_turbo:
-        mpix_s6, fit_s6 = nlm_turbo[(6, 2)]
-        put("nlm_turbo_s6_4k_mpix_s", mpix_s6)
-        out["nlm_turbo_s6_4k_spread"] = round(float(fit_s6.spread), 3)
-    if (6, 2) in nlm_gates:
-        put("nlm_turbo_s6_db_vs_exact", nlm_gates[(6, 2)][0])
-        put("nlm_turbo_s6_db_vs_exact_4k", nlm_gates[(6, 2)][1])
-        out["nlm_turbo_s6_gate_ok"] = bool(nlm_gate_ok.get((6, 2), False))
+    # Row tags: (7,2) keeps the round-2/3 field names; trims get a suffix.
+    nlm_tags = {
+        (7, 2, False): "nlm_turbo",
+        (6, 2, False): "nlm_turbo_s6",
+        (7, 2, True): "nlm_turbo_disk",
+        (6, 2, True): "nlm_turbo_s6disk",
+    }
+    for key, tag in nlm_tags.items():
+        if key in nlm_turbo:
+            mpix_nt, fit_nt = nlm_turbo[key]
+            if key == (7, 2, False):
+                # Historical field semantics: the headline row zeroes its
+                # published throughput when it fails its gate.
+                mpix_nt = mpix_nt if nlm_gate_ok.get(key, False) else 0.0
+            put(f"{tag}_4k_mpix_s", mpix_nt)
+            out[f"{tag}_4k_spread"] = round(float(fit_nt.spread), 3)
+        if key in nlm_gates:
+            put(f"{tag}_db_vs_exact", nlm_gates[key][0])
+            put(f"{tag}_db_vs_exact_4k", nlm_gates[key][1])
+            if key != (7, 2, False):
+                out[f"{tag}_gate_ok"] = bool(nlm_gate_ok.get(key, False))
 
     for d in LAYERS_TURBO_DS:
         tag = f"layers_turbo_d{d}"

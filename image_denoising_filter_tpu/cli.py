@@ -116,6 +116,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--nlm-h", type=float, default=0.5, help="NLM filtering parameter")
     ap.add_argument("--search-radius", type=int, default=7, help="NLM search radius (half-open)")
     ap.add_argument("--patch-radius", type=int, default=3, help="NLM patch radius (half-open)")
+    ap.add_argument(
+        "--search-disk", action="store_true",
+        help="trim NLM search candidates to the disk dy^2+dx^2 <= s^2 "
+        "(with --turbo: 37 of 196 candidates; ~0.7 dB closer to exact than "
+        "--search-radius 6 at the same cost -- docs/PERFORMANCE.md)",
+    )
     args = ap.parse_args(argv)
 
     from .utils import compile_cache
@@ -161,6 +167,7 @@ def main(argv: list[str] | None = None) -> int:
             # (49 of 196 offsets at stride 2 -- quality figures in
             # docs/PERFORMANCE.md and tests/test_fast.py).
             search_stride=2 if args.turbo else 1,
+            search_disk=args.search_disk,
         )
         profiler = None
         if args.profile:

@@ -132,6 +132,16 @@ class NlmParams:
     # 1 = exact reference parity (all 196 candidates); 2 = 49 candidates,
     # ~3.5x faster, quality measured in tests/test_fast.py and docs.
     search_stride: int = 1
+    # Second APPROXIMATION knob, composable with search_stride: drop
+    # candidates outside the disk dy^2 + dx^2 <= search_radius^2 (the grid's
+    # corners: SSD there is largest and the exp weight smallest per
+    # candidate evaluated). stride=2 + disk keeps 37 of 196 candidates and
+    # measures ~0.7 dB CLOSER to the exact kernel than the 36-candidate
+    # radius-6 trim at the same cost, with axis coverage kept at radius 7
+    # (round-4 CPU quality screen, tools/quality_ladders_r3.py). The
+    # stride^2 importance compensation is unchanged (dropped corners are
+    # simply unrepresented, exactly like the radius trim).
+    search_disk: bool = False
 
     @property
     def halo(self) -> int:

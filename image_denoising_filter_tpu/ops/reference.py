@@ -188,6 +188,8 @@ def nlm_reference(
     # smoothing strength matches the full search (see tests/test_fast.py).
     for dy in range(s % st - s, s, st):  # half-open: [-s, s) (nonlocal.comp:36)
         for dx in range(s % st - s, s, st):
+            if params.search_disk and dy * dy + dx * dx > s * s:
+                continue  # disk trim (config.NlmParams.search_disk)
             ssd = np.zeros((h, w), np.float32)
             for j in range(-p, p):  # half-open: [-p, p) (shaders/nonlocal.comp:42)
                 for i in range(-p, p):

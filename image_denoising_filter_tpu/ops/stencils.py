@@ -486,6 +486,7 @@ def _nlm_kernel(
     norm_seed: float,
     uniform_alpha: bool,
     stride: int,
+    sdx_steps: tuple,
     cdtype,
 ):
     """Frame-batched NLM accumulation. Grid (gh, gw, F): the frame axis is the
@@ -493,7 +494,14 @@ def _nlm_kernel(
     output blocks stay VMEM-resident across all frames of a tile -- the TPU
     analog of the reference's persistent device-local weights buffer
     (src/main.cpp:1430-1433, shaders/nonlocal.comp:61-62) -- instead of a
-    per-frame HBM round-trip of the partials."""
+    per-frame HBM round-trip of the partials.
+
+    `sdx_steps[step]` is the static tuple of sdx (padded-column) candidates
+    evaluated at search-row `step`. Uniform rows (no disk trim) compile to
+    the single fori_loop of rounds 2-3; the disk trim
+    (config.NlmParams.search_disk) groups consecutive rows with identical
+    column subsets into segmented fori_loops sharing the roll-carry, so
+    corner candidates cost nothing rather than being masked."""
     halo = s + p
     i, j, f = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
@@ -538,10 +546,13 @@ def _nlm_kernel(
     tcol = lhn - s
     n_carry = 3 if uniform_alpha else 4
 
-    def row_body(step, carry):
+    def make_row_body(sdx_list):
+        return functools.partial(row_body, sdx_list=sdx_list)
+
+    def row_body(step, carry, *, sdx_list):
         wc0, wc1, wc2, wc3, nw = carry[:5]
         vn = carry[5:]  # neighbour planes, rolled up step*stride rows
-        for sdx in range(start, 2 * s, stride):
+        for sdx in sdx_list:
             c0 = ecol + sdx
             n0 = vn[0][erow : erow + eh, c0 : c0 + ew]
             n1 = vn[1][erow : erow + eh, c0 : c0 + ew]
@@ -579,11 +590,19 @@ def _nlm_kernel(
         )
         return (wc0, wc1, wc2, wc3, nw, *rolled)
 
-    n_steps = len(range(start, 2 * s, stride))
+    n_steps = len(sdx_steps)
     zero = jnp.zeros((th, tw), jnp.float32)
     seed = jnp.full((th, tw), norm_seed, jnp.float32)
-    init = (zero, zero, zero, zero, seed, *(nbr_tile[c] for c in range(n_carry)))
-    out = jax.lax.fori_loop(0, n_steps, row_body, init)
+    out = (zero, zero, zero, zero, seed, *(nbr_tile[c] for c in range(n_carry)))
+    # Segmented fori loops: consecutive search rows with the same column
+    # subset share one compiled body; uniform subsets collapse to one loop.
+    a = 0
+    while a < n_steps:
+        b = a
+        while b < n_steps and sdx_steps[b] == sdx_steps[a]:
+            b += 1
+        out = jax.lax.fori_loop(a, b, make_row_body(sdx_steps[a]), out)
+        a = b
     wc0, wc1, wc2, wc3, nw = out[:5]
     if uniform_alpha:
         # This frame's tap alphas are one constant a: sum(w * a) = a * (nw -
@@ -646,6 +665,18 @@ def _nlm_planar_frames(
     cdtype = jnp.bfloat16 if (
         tiling and tiling.compute_dtype == "bfloat16"
     ) else jnp.float32
+    # Per-search-row candidate columns (sdx = dx + s in padded coords); the
+    # disk trim drops grid corners per config.NlmParams.search_disk.
+    sdx_all = tuple(range(s % stride, 2 * s, stride))
+    sdx_steps = tuple(
+        tuple(
+            sdx
+            for sdx in sdx_all
+            if not params.search_disk
+            or (sdy - s) ** 2 + (sdx - s) ** 2 <= s * s
+        )
+        for sdy in sdx_all
+    )
     kernel = functools.partial(
         _nlm_kernel,
         s=s,
@@ -660,9 +691,10 @@ def _nlm_planar_frames(
         norm_seed=params.norm_seed,
         uniform_alpha=params.uniform_alpha,
         stride=stride,
+        sdx_steps=sdx_steps,
         cdtype=cdtype,
     )
-    n_offsets = len(range(s % stride, 2 * s, stride)) ** 2
+    n_offsets = sum(len(t) for t in sdx_steps)
     wc, nw = pl.pallas_call(
         kernel,
         grid=(gh, gw, n_frames),

@@ -151,7 +151,11 @@ def nlm_xla(
     # to include the zero offset (config.py).
     st = params.search_stride
     sy, sx = np.mgrid[s % st : 2 * s : st, s % st : 2 * s : st]
-    offs = jnp.asarray(np.stack([sy.ravel(), sx.ravel()], axis=1).astype(np.int32))
+    offs_np = np.stack([sy.ravel(), sx.ravel()], axis=1).astype(np.int32)
+    if params.search_disk:  # drop grid corners (config.NlmParams.search_disk)
+        keep = (offs_np[:, 0] - s) ** 2 + (offs_np[:, 1] - s) ** 2 <= s * s
+        offs_np = offs_np[keep]
+    offs = jnp.asarray(offs_np)
 
     t_ext = pt[:eh, :ew]  # target patch region, fixed across offsets
 

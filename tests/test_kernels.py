@@ -181,6 +181,32 @@ def test_nlm_search_stride_matches_strided_oracle(img, img2, impl, s, p):
     np.testing.assert_allclose(np.asarray(nw), wnw, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("impl", [nlm_accumulate, nlm_xla])
+@pytest.mark.parametrize(
+    "s,p,st",
+    [
+        (7, 3, 2),  # the bench disk row: 37 of 196 candidates
+        (5, 2, 2),  # asymmetric half-open rows through the segmented loops
+        (4, 2, 1),  # disk without stride (147-of-196 analog at small s)
+    ],
+)
+def test_nlm_search_disk_matches_disk_oracle(img, img2, impl, s, p, st):
+    """search_disk trims candidates to dy^2+dx^2 <= s^2 -- kernel (segmented
+    roll-carry fori loops) and oracle agree on the reduced candidate set,
+    composed with and without search_stride."""
+    params = NlmParams(
+        search_radius=s, patch_radius=p, search_stride=st, search_disk=True
+    )
+    wc, nw = impl(img, img2, params)
+    wwc, wnw = ref.nlm_reference(img, img2, params)
+    np.testing.assert_allclose(np.asarray(wc), wwc, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nw), wnw, rtol=1e-4, atol=1e-5)
+    # The trim is live: it must differ from the untrimmed subset.
+    base = NlmParams(search_radius=s, patch_radius=p, search_stride=st)
+    wc_b, _ = impl(img, img2, base)
+    assert not np.array_equal(np.asarray(wc), np.asarray(wc_b))
+
+
 def test_nlm_bfloat16_compute_dtype_tolerance(img, img2):
     """compute_dtype=bfloat16 (opt-in speed knob): taps are cast to bf16, the
     SSD/weights accumulate in f32. Verify it is wired (output differs from f32
