@@ -61,20 +61,25 @@ GATE_DB = 40.0
 # Session.run_turbo(levels=) knob. K=6 == K=8 quality (25% faster); (4, 5)
 # measures IDENTICAL dB to (4, 6) on both gate contents and ~5% faster still.
 TURBO_SETTINGS = ((2, 6), (4, 6), (4, 5), (8, 6))  # (downsample, levels)
-# NLM turbo settings: (search_radius, search_stride, search_disk). (7, 2)
-# is the default (49 of 196 candidates); (6, 2) trims to 36 -- 41.0 dB vs
-# exact on the gate content; (7, 2, disk) trims to 37 with the corners
-# dropped instead of the radius -- 41.6/41.8 dB on the two gate contents in
-# the round-4 CPU screen (stride 3 and s=5 fail the gate;
-# docs/PERFORMANCE.md negative results). The best GATED row carries the
-# geomean. (6, 2, disk) keeps just 27 candidates and still passed the CPU
-# screen at 40.5 dB -- thin margin, so it rides as a fourth row that only
-# carries the geomean if it gates at 4K on-chip.
+# NLM turbo settings: (search_radius, search_stride, search_disk,
+# weights_halfres). (7, 2) is the default (49 of 196 candidates); (6, 2)
+# trims to 36 -- 41.0 dB vs exact on the gate content; (7, 2, disk) trims to
+# 37 with the corners dropped instead of the radius -- 41.6/41.8 dB on the
+# two gate contents in the round-4 CPU screen (stride 3 and s=5 fail the
+# gate; docs/PERFORMANCE.md negative results). The best GATED row carries
+# the geomean. (6, 2, disk) keeps just 27 candidates and still passed the
+# CPU screen at 40.5 dB -- thin margin, so it rides as a row that only
+# carries the geomean if it gates at 4K on-chip. The hrw rows compute the
+# WEIGHT field at half row resolution (value taps full-res): ~14 vs ~22 VPU
+# ops/candidate, 42.6 / 41.5 dB (disk) on the sinusoid gate content --
+# content-dependent on hard row edges, so the 4K render gate is load-bearing.
 NLM_TURBO_SETTINGS = (
-    (7, 2, False),
-    (6, 2, False),
-    (7, 2, True),
-    (6, 2, True),
+    (7, 2, False, False),
+    (6, 2, False, False),
+    (7, 2, True, False),
+    (6, 2, True, False),
+    (7, 2, False, True),
+    (7, 2, True, True),
 )
 # Guided-layers turbo downsamples (per-layer unit of the layers battery
 # config, /root/reference/src/main.cpp:1957; round-3 VERDICT #3).
@@ -267,12 +272,13 @@ def _measure(out: dict) -> None:
     nlm_turbo: dict = {}
 
     def phase_turbo_nlm():
-        for s_r, st, disk in NLM_TURBO_SETTINGS:
+        for s_r, st, disk, hrw in NLM_TURBO_SETTINGS:
             nlp_t = NlmParams(
                 uniform_alpha=True,
                 search_radius=s_r,
                 search_stride=st,
                 search_disk=disk,
+                weights_halfres=hrw,
             )
             mpix, fit = chiptime.measure_mpix(
                 lambda nb, p=nlp_t: nlm_accumulate(noise, nb, p, bf16)[0],
@@ -280,7 +286,7 @@ def _measure(out: dict) -> None:
                 n_pixels=n_px,
                 ks=(1, 4, 10),
             )
-            nlm_turbo[(s_r, st, disk)] = (mpix, fit)
+            nlm_turbo[(s_r, st, disk, hrw)] = (mpix, fit)
 
     phases.run("turbo_nlm", phase_turbo_nlm)
 
@@ -354,12 +360,13 @@ def _measure(out: dict) -> None:
         exact_4k = np.asarray(
             normalize(*nlm_accumulate(render, render2, nlp))
         )
-        for s_r, st, disk in NLM_TURBO_SETTINGS:
+        for s_r, st, disk, hrw in NLM_TURBO_SETTINGS:
             nlp_g = NlmParams(
                 uniform_alpha=True,
                 search_radius=s_r,
                 search_stride=st,
                 search_disk=disk,
+                weights_halfres=hrw,
             )
             db_small = ref.psnr(
                 np.asarray(
@@ -373,8 +380,8 @@ def _measure(out: dict) -> None:
                 )[..., :3],
                 exact_4k[..., :3],
             )
-            nlm_gates[(s_r, st, disk)] = (db_small, db_4k)
-            nlm_gate_ok[(s_r, st, disk)] = min(db_small, db_4k) >= GATE_DB
+            nlm_gates[(s_r, st, disk, hrw)] = (db_small, db_4k)
+            nlm_gate_ok[(s_r, st, disk, hrw)] = min(db_small, db_4k) >= GATE_DB
 
     phases.run("gates_nlm", phase_gates_nlm)
 
@@ -515,16 +522,19 @@ def _measure(out: dict) -> None:
             out[f"{tag}_gate_ok"] = bool(gate_ok.get((d, K), False))
 
     # Row tags: (7,2) keeps the round-2/3 field names; trims get a suffix.
+    headline_key = (7, 2, False, False)
     nlm_tags = {
-        (7, 2, False): "nlm_turbo",
-        (6, 2, False): "nlm_turbo_s6",
-        (7, 2, True): "nlm_turbo_disk",
-        (6, 2, True): "nlm_turbo_s6disk",
+        headline_key: "nlm_turbo",
+        (6, 2, False, False): "nlm_turbo_s6",
+        (7, 2, True, False): "nlm_turbo_disk",
+        (6, 2, True, False): "nlm_turbo_s6disk",
+        (7, 2, False, True): "nlm_turbo_hrw",
+        (7, 2, True, True): "nlm_turbo_hrwdisk",
     }
     for key, tag in nlm_tags.items():
         if key in nlm_turbo:
             mpix_nt, fit_nt = nlm_turbo[key]
-            if key == (7, 2, False):
+            if key == headline_key:
                 # Historical field semantics: the headline row zeroes its
                 # published throughput when it fails its gate.
                 mpix_nt = mpix_nt if nlm_gate_ok.get(key, False) else 0.0
@@ -533,7 +543,7 @@ def _measure(out: dict) -> None:
         if key in nlm_gates:
             put(f"{tag}_db_vs_exact", nlm_gates[key][0])
             put(f"{tag}_db_vs_exact_4k", nlm_gates[key][1])
-            if key != (7, 2, False):
+            if key != headline_key:
                 out[f"{tag}_gate_ok"] = bool(nlm_gate_ok.get(key, False))
 
     for d in LAYERS_TURBO_DS:

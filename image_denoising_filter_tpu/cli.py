@@ -122,6 +122,14 @@ def main(argv: list[str] | None = None) -> int:
         "(with --turbo: 37 of 196 candidates; ~0.7 dB closer to exact than "
         "--search-radius 6 at the same cost -- docs/PERFORMANCE.md)",
     )
+    ap.add_argument(
+        "--weights-halfres", action="store_true",
+        help="compute the NLM weight field at half ROW resolution (bilinear "
+        "row upsample; value taps stay full-res) -- halves the dominant "
+        "per-candidate VPU work; requires --turbo (stride-2 search) and "
+        "patch radius 3; 41.5-42.6 dB vs exact on the bench gate contents, "
+        "content-dependent on hard row edges (docs/PERFORMANCE.md)",
+    )
     args = ap.parse_args(argv)
 
     from .utils import compile_cache
@@ -168,7 +176,12 @@ def main(argv: list[str] | None = None) -> int:
             # docs/PERFORMANCE.md and tests/test_fast.py).
             search_stride=2 if args.turbo else 1,
             search_disk=args.search_disk,
+            weights_halfres=args.weights_halfres,
         )
+        if args.weights_halfres and not args.turbo:
+            raise SystemExit(
+                "--weights-halfres requires --turbo (stride-2 search)"
+            )
         profiler = None
         if args.profile:
             import jax

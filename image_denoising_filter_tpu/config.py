@@ -142,6 +142,22 @@ class NlmParams:
     # stride^2 importance compensation is unchanged (dropped corners are
     # simply unrepresented, exactly like the radius trim).
     search_disk: bool = False
+    # Third APPROXIMATION knob, composable with the other two: compute the
+    # per-candidate WEIGHT field at half ROW resolution (2x1-mean-pooled
+    # images, kappa=2-scaled 3-row x 2p-lane SSD box, bilinear row
+    # upsample with half-pixel centers) while the value taps stay at full
+    # resolution. The weight field is a box-filtered (smooth) quantity, so
+    # the interpolation sits far inside the turbo budget: measured 41.5 dB
+    # vs the exact kernel with stride 2 + disk on both bench gate contents
+    # (tools/nlm_hrw_screen_r4.py) -- and the denoising PSNR is marginally
+    # ABOVE full-res weights (the weight smoothing regularizes). Cuts the
+    # dominant per-candidate VPU work (diff/SSD-box/exp) in half; in the
+    # Pallas kernel the row upsample is one small banded bf16 MXU dot per
+    # candidate (the slice kernels' pattern), off the VPU critical path.
+    # Requires search_stride == 2 (row offsets must be even to land on the
+    # half-row lattice) and patch_radius == 3 (the reference value; the
+    # 3-row half-window is its 6-row box).
+    weights_halfres: bool = False
 
     @property
     def halo(self) -> int:

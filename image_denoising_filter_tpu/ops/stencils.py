@@ -639,6 +639,233 @@ def _nlm_kernel(
         out_nw_ref[0] += nw
 
 
+NLM_HRW_KAPPA = 2.0  # 3 x 2p half cells stand in for the 2p x 2p full box
+
+
+def _nlm_hrw_kernel(
+    tgt_hbm,
+    nbr_hbm,
+    valid_ref,
+    pt_ref,
+    pn_ref,
+    vup_ref,
+    out_wc_ref,
+    out_nw_ref,
+    tgt_tile,
+    nbr_tile,
+    sem,
+    *,
+    s: int,
+    p: int,
+    th: int,
+    tw: int,
+    rht: int,
+    lht: int,
+    rhn: int,
+    lhn: int,
+    inv_h2: float,
+    norm_seed: float,
+    uniform_alpha: bool,
+    stride: int,
+    sdx_steps: tuple,
+    cdtype,
+):
+    """Frame-batched NLM with HALF-ROW-RESOLUTION weights
+    (config.NlmParams.weights_halfres; algorithm spec + quality screen:
+    tools/nlm_hrw_screen_r4.py, oracle: ops/xla.py:nlm_xla halfres branch).
+
+    Same tile/DMA/accumulator structure as _nlm_kernel; what changes is the
+    weight path. Per frame the 3 RGB scratch planes are 2x1-mean-pooled by a
+    banded matmul (MXU; pool matrices ride in as inputs, exact in bf16), the
+    per-candidate squared-diff/3-row-box/exp runs on the half-row lattice
+    (half the VPU work of the full-res weight path), and each candidate's
+    weight field is upsampled back to tile rows by ONE small banded matmul
+    with the d=2 bilinear matrix (vup) -- MXU work off the VPU critical
+    path, the same pattern the turbo slice kernels use for grid upsampling.
+    Value taps stay full-resolution (the full planes ride the same
+    roll-carry as _nlm_kernel); dy offsets are even (stride 2), so each
+    candidate lands exactly on the half lattice and the pooled planes roll
+    by ONE row per search step.
+
+    Pooling pairs scratch rows (2r, 2r+1): tile starts (i*th) and both halos
+    (rht, rhn) are even, so the pairs sit on the absolute even-row lattice --
+    identical to the XLA oracle's global pooling. Sharded callers note: a
+    shard whose local row offset is odd shifts this lattice by one row
+    (still a valid approximation, but not bitwise-equal to single-device)."""
+    halo = s + p
+    th2 = th // 2
+    i, j, f = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(f == 0)
+    def _load_target():
+        cpt = pltpu.make_async_copy(
+            tgt_hbm.at[:, pl.ds(i * th, th + 2 * rht), pl.ds(j * tw, tw + 2 * lht)],
+            tgt_tile,
+            sem.at[0],
+        )
+        cpt.start()
+        cpt.wait()
+
+    cpn = pltpu.make_async_copy(
+        nbr_hbm.at[f, :, pl.ds(i * th, th + 2 * rhn), pl.ds(j * tw, tw + 2 * lhn)],
+        nbr_tile,
+        sem.at[1],
+    )
+    cpn.start()
+    cpn.wait()
+
+    ptm = pt_ref[:]  # (th2 + rht, th + 2*rht): target row-pool bands
+    pnm = pn_ref[:]  # (th2 + rhn, th + 2*rhn): neighbour row-pool bands
+    vup = vup_ref[:]  # (th, th2 + 2): x2 bilinear row upsample bands
+
+    ew = tw + 2 * p - 1
+    # Pooled target cells ih in [-rht/2, th2 + rht/2); the weight path needs
+    # exactly ih in [-2, th2+2) (rht == 4). Lanes: E region starts at x' = -p.
+    t_e = tuple(
+        jnp.dot(
+            ptm, tgt_tile[c].astype(ptm.dtype), preferred_element_type=jnp.float32
+        ).astype(cdtype)[:, lht - p : lht - p + ew]
+        for c in range(3)
+    )
+    # Pooled neighbour planes, cells ih in [-rhn/2, th2 + rhn/2).
+    nh0 = tuple(
+        jnp.dot(
+            pnm, nbr_tile[c].astype(pnm.dtype), preferred_element_type=jnp.float32
+        ).astype(cdtype)
+        for c in range(3)
+    )
+
+    start = s % stride
+    log_m = float(np.log2(float(stride * stride)))
+    k0 = (s - start) // stride
+    # First step's half-row shift: dy0 = start - s (even); fixed slice start
+    # in the rolled pooled planes: cell ih = -2 at buffer row
+    # rhn/2 + dy0/2 - 2; each step rolls the pooled planes up by 1.
+    erow_h = rhn // 2 + (start - s) // 2 - 2
+    ecol = lhn - halo
+    trow = rhn - s + start
+    tcol = lhn - s
+    n_carry = 3 if uniform_alpha else 4
+    kscale = jnp.float32(-inv_h2 * NLM_HRW_KAPPA * LOG2E)
+
+    def make_row_body(sdx_list):
+        return functools.partial(row_body, sdx_list=sdx_list)
+
+    def row_body(step, carry, *, sdx_list):
+        wc0, wc1, wc2, wc3, nw = carry[:5]
+        vn = carry[5 : 5 + n_carry]  # full-res planes (taps), roll = stride
+        vh = carry[5 + n_carry :]  # pooled planes (weights), roll = 1
+        for sdx in sdx_list:
+            c0 = ecol + sdx
+            n0 = vh[0][erow_h : erow_h + th2 + 4, c0 : c0 + ew]
+            n1 = vh[1][erow_h : erow_h + th2 + 4, c0 : c0 + ew]
+            n2 = vh[2][erow_h : erow_h + th2 + 4, c0 : c0 + ew]
+            d0 = t_e[0] - n0
+            d1 = t_e[1] - n1
+            d2 = t_e[2] - n2
+            e = (d0 * d0 + d1 * d1 + d2 * d2).astype(jnp.float32)
+            # 3-row half window anchored at ih-1, then the 2p-lane box.
+            e3 = e[:-2] + e[1:-1] + e[2:]  # cells ih in [-1, th2+1)
+            ssd = _box_lanes(e3, 2 * p, tw)
+            arg = ssd * kscale
+            if stride > 1:
+                if sdx == s:
+                    bias = jnp.where(
+                        step == k0, jnp.float32(0.0), jnp.float32(log_m)
+                    )
+                else:
+                    bias = jnp.float32(log_m)
+                arg = arg + bias
+            wh = jnp.exp2(arg)  # (th2 + 2, tw)
+            wgt = jnp.dot(
+                vup, wh.astype(vup.dtype), preferred_element_type=jnp.float32
+            )  # (th, tw) full-res weights, MXU
+            tc = tcol + sdx
+            c0v = vn[0][trow : trow + th, tc : tc + tw]
+            c1v = vn[1][trow : trow + th, tc : tc + tw]
+            c2v = vn[2][trow : trow + th, tc : tc + tw]
+            wc0 = wc0 + c0v * wgt
+            wc1 = wc1 + c1v * wgt
+            wc2 = wc2 + c2v * wgt
+            if not uniform_alpha:
+                c3v = vn[3][trow : trow + th, tc : tc + tw]
+                wc3 = wc3 + c3v * wgt
+            nw = nw + wgt
+        rolled = tuple(pltpu.roll(v, v.shape[0] - stride, axis=0) for v in vn)
+        rolled_h = tuple(pltpu.roll(v, v.shape[0] - 1, axis=0) for v in vh)
+        return (wc0, wc1, wc2, wc3, nw, *rolled, *rolled_h)
+
+    n_steps = len(sdx_steps)
+    zero = jnp.zeros((th, tw), jnp.float32)
+    seed = jnp.full((th, tw), norm_seed, jnp.float32)
+    out = (
+        zero,
+        zero,
+        zero,
+        zero,
+        seed,
+        *(nbr_tile[c] for c in range(n_carry)),
+        *nh0,
+    )
+    a = 0
+    while a < n_steps:
+        b = a
+        while b < n_steps and sdx_steps[b] == sdx_steps[a]:
+            b += 1
+        out = jax.lax.fori_loop(a, b, make_row_body(sdx_steps[a]), out)
+        a = b
+    wc0, wc1, wc2, wc3, nw = out[:5]
+    if uniform_alpha:
+        alpha = nbr_tile[3, rhn : rhn + th, lhn : lhn + tw]
+        wc3 = alpha * (nw - jnp.float32(norm_seed))
+
+    v = valid_ref[f]
+    wc0 = wc0 * v
+    wc1 = wc1 * v
+    wc2 = wc2 * v
+    wc3 = wc3 * v
+    nw = nw * v
+
+    @pl.when(f == 0)
+    def _init_out():
+        out_wc_ref[0] = wc0
+        out_wc_ref[1] = wc1
+        out_wc_ref[2] = wc2
+        out_wc_ref[3] = wc3
+        out_nw_ref[0] = nw
+
+    @pl.when(f != 0)
+    def _accum_out():
+        out_wc_ref[0] += wc0
+        out_wc_ref[1] += wc1
+        out_wc_ref[2] += wc2
+        out_wc_ref[3] += wc3
+        out_nw_ref[0] += nw
+
+
+def _up2_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """x2 bilinear row-upsample bands (half-pixel centers): output row y
+    samples half cells at g = (y+0.5)/2 - 0.5; input row r holds cell
+    ih = r - 1 (the slab starts one cell early for the y=0 tap)."""
+    u = np.zeros((n_out, n_in), np.float32)
+    for y in range(n_out):
+        g = (y + 0.5) / 2.0 - 0.5
+        fl = int(np.floor(g))
+        w1 = g - fl
+        u[y, fl + 1] += 1.0 - w1
+        u[y, fl + 2] += w1
+    return u
+
+
+def _pool2_rows_matrix(n_in: int) -> np.ndarray:
+    """2x1 mean-pool bands: out row r = 0.5 * (in[2r] + in[2r+1])."""
+    m = np.zeros((n_in // 2, n_in), np.float32)
+    for r in range(n_in // 2):
+        m[r, 2 * r] = 0.5
+        m[r, 2 * r + 1] = 0.5
+    return m
+
+
 def _nlm_planar_frames(
     tgt: jnp.ndarray,  # (4, H, W)
     frames: jnp.ndarray,  # (F, 4, H, W)
@@ -677,8 +904,7 @@ def _nlm_planar_frames(
         )
         for sdy in sdx_all
     )
-    kernel = functools.partial(
-        _nlm_kernel,
+    kern_kwargs = dict(
         s=s,
         p=p,
         th=th,
@@ -695,6 +921,28 @@ def _nlm_planar_frames(
         cdtype=cdtype,
     )
     n_offsets = sum(len(t) for t in sdx_steps)
+    if params.weights_halfres:
+        # Half-row-resolution weight field (see _nlm_hrw_kernel). The pool /
+        # upsample band matrices ride in as VMEM inputs (exact in bf16);
+        # per-offset VPU work drops from ~22 to ~14 ops (the row upsample is
+        # a small banded MXU dot).
+        if stride != 2 or p != 3:
+            raise ValueError(
+                "weights_halfres requires search_stride=2 and patch_radius=3"
+            )
+        extra_in = (
+            jnp.asarray(_pool2_rows_matrix(th + 2 * rht), cdtype),
+            jnp.asarray(_pool2_rows_matrix(th + 2 * rhn), cdtype),
+            jnp.asarray(_up2_matrix(th // 2 + 2, th), cdtype),
+        )
+        extra_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+        kernel = functools.partial(_nlm_hrw_kernel, **kern_kwargs)
+        flops_per_off = 14
+    else:
+        extra_in = ()
+        extra_specs = []
+        kernel = functools.partial(_nlm_kernel, **kern_kwargs)
+        flops_per_off = 22
     wc, nw = pl.pallas_call(
         kernel,
         grid=(gh, gw, n_frames),
@@ -702,6 +950,7 @@ def _nlm_planar_frames(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            *extra_specs,
         ],
         out_specs=[
             pl.BlockSpec((4, th, tw), lambda i, j, f: (0, i, j)),
@@ -717,7 +966,7 @@ def _nlm_planar_frames(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=n_offsets * 22 * h * w * n_frames,
+            flops=n_offsets * flops_per_off * h * w * n_frames,
             bytes_accessed=4 * h * w * 4 * (2 + n_frames),
             transcendentals=n_offsets * h * w * n_frames,
         ),
@@ -726,7 +975,7 @@ def _nlm_planar_frames(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=_use_interpret(),
-    )(padded_t, padded_n, valid.astype(jnp.float32))
+    )(padded_t, padded_n, valid.astype(jnp.float32), *extra_in)
     return wc, nw
 
 

@@ -159,24 +159,96 @@ def nlm_xla(
 
     t_ext = pt[:eh, :ew]  # target patch region, fixed across offsets
 
-    def body(carry, off):
-        wc, nw = carry
-        # E region in padded-neighbour coords starts at off (derivation: the
-        # element at E-index e corresponds to absolute row e-p+dy, which sits at
-        # padded row e-p+dy+halo = e+off_y).
-        n_ext = jax.lax.dynamic_slice(pn_rgb, (off[0], off[1], 0), (eh, ew, 3))
-        d = t_ext - n_ext
-        e = jnp.sum(d * d, axis=-1)
-        ssd = jax.lax.reduce_window(
-            e, 0.0, jax.lax.add, (2 * p, 2 * p), (1, 1), "valid"
+    if params.weights_halfres:
+        # Half-row-resolution weight field (config.NlmParams.weights_halfres;
+        # quality screen: tools/nlm_hrw_screen_r4.py). Weight cells live on
+        # the absolute half-row lattice ih <-> full rows {2ih, 2ih+1}:
+        #   Eh(ih, x') = mean over the two rows of the per-pixel sq diff,
+        #   ssd_h(ih)  = kappa * sum_{a=-1..1} Eh(ih+a) boxed over 2p lanes
+        #                (kappa=2: 3x2p half cells represent the 2p x 2p
+        #                full box's 4p^2 taps at half the sample count),
+        #   w(2i)   = 0.25 c(i-1) + 0.75 c(i)      (bilinear, half-pixel
+        #   w(2i+1) = 0.75 c(i)   + 0.25 c(i+1)     centers).
+        # Row offsets dy are even (stride 2, phase includes 0), so each
+        # candidate lands exactly on the half lattice; lanes stay full-res.
+        if st != 2 or p != 3:
+            raise ValueError(
+                "weights_halfres requires search_stride=2 and patch_radius=3"
+            )
+        kappa = jnp.float32(2.0)
+        hc = (h + 1) // 2
+        rp = 12  # row pad: n-cells [-5, hc+5) -> full rows [-10, 2*hc+10)
+        tpad = jnp.pad(
+            target[..., :3],
+            ((rp, rp + 1), (halo, halo), (0, 0)),
+            mode="edge" if params.border == BorderPolicy.CLAMP else "constant",
         )
-        wgt = jnp.exp(-ssd * inv_h2)
-        if st > 1:
-            # importance-sampling compensation for non-self offsets
+        npad = jnp.pad(
+            neighbour[..., :3],
+            ((rp, rp + 1), (halo, halo), (0, 0)),
+            mode="edge" if params.border == BorderPolicy.CLAMP else "constant",
+        )
+
+        def pool_rows(x, ih0, n_cells):
+            blk = jax.lax.dynamic_slice_in_dim(
+                x, rp + 2 * ih0, 2 * n_cells, axis=0
+            )
+            return 0.5 * (blk[0::2] + blk[1::2])
+
+        t_half = pool_rows(tpad, -2, hc + 4)  # cells [-2, hc+2)
+        n_half = pool_rows(npad, -5, hc + 10)  # cells [-5, hc+5)
+        # E lane region x' in [-p, w+p-1): padded-lane index x' + halo.
+        t_he = jax.lax.dynamic_slice(
+            t_half, (0, halo - p, 0), (hc + 4, ew, 3)
+        )
+
+        def body(carry, off):
+            wc, nw = carry
+            ohy = (off[0] - s) // 2  # even dy -> exact half-row shift
+            n_he = jax.lax.dynamic_slice(
+                n_half, (3 + ohy, off[1], 0), (hc + 4, ew, 3)
+            )
+            d = t_he - n_he
+            e = jnp.sum(d * d, axis=-1)
+            ssd3 = e[:-2] + e[1:-1] + e[2:]  # cells [-1, hc+1)
+            ssd = jax.lax.reduce_window(
+                ssd3, 0.0, jax.lax.add, (1, 2 * p), (1, 1), "valid"
+            )
+            wh = jnp.exp(-(kappa * ssd) * inv_h2)  # (hc+2, w)
+            even = 0.25 * wh[:-2] + 0.75 * wh[1:-1]
+            odd = 0.75 * wh[1:-1] + 0.25 * wh[2:]
+            wgt = jnp.stack([even, odd], axis=1).reshape(2 * hc, w)[:h]
             is_self = jnp.logical_and(off[0] == s, off[1] == s)
             wgt = wgt * jnp.where(is_self, 1.0, float(st * st))
-        tap = jax.lax.dynamic_slice(pn, (off[0] + p, off[1] + p, 0), (h, w, 4))
-        return (wc + tap[..., :nch] * wgt[..., None], nw + wgt), None
+            tap = jax.lax.dynamic_slice(
+                pn, (off[0] + p, off[1] + p, 0), (h, w, 4)
+            )
+            return (wc + tap[..., :nch] * wgt[..., None], nw + wgt), None
+
+    else:
+
+        def body(carry, off):
+            wc, nw = carry
+            # E region in padded-neighbour coords starts at off (derivation:
+            # the element at E-index e corresponds to absolute row e-p+dy,
+            # which sits at padded row e-p+dy+halo = e+off_y).
+            n_ext = jax.lax.dynamic_slice(
+                pn_rgb, (off[0], off[1], 0), (eh, ew, 3)
+            )
+            d = t_ext - n_ext
+            e = jnp.sum(d * d, axis=-1)
+            ssd = jax.lax.reduce_window(
+                e, 0.0, jax.lax.add, (2 * p, 2 * p), (1, 1), "valid"
+            )
+            wgt = jnp.exp(-ssd * inv_h2)
+            if st > 1:
+                # importance-sampling compensation for non-self offsets
+                is_self = jnp.logical_and(off[0] == s, off[1] == s)
+                wgt = wgt * jnp.where(is_self, 1.0, float(st * st))
+            tap = jax.lax.dynamic_slice(
+                pn, (off[0] + p, off[1] + p, 0), (h, w, 4)
+            )
+            return (wc + tap[..., :nch] * wgt[..., None], nw + wgt), None
 
     nch = 3 if params.uniform_alpha else 4
     init = (

@@ -119,6 +119,55 @@ def test_nlm_turbo_pallas_path_gate(rng, s_r, st):
     assert db >= 40.0, f"s={s_r} stride-{st} Pallas NLM vs exact: {db:.1f} dB"
 
 
+@pytest.mark.parametrize("disk,min_db", [(False, 42.0), (True, 41.0)])
+def test_nlm_weights_halfres_gate(disk, min_db):
+    """Half-res-weights NLM (weights_halfres) through the shipping Pallas+bf16
+    path on the bench gate content class (the 512x1024 sinusoids at 256x512:
+    same dB to 0.1). Measured 42.5 / 41.5 dB (disk) -- thresholds sit 0.5 dB
+    under. NOTE the approximation is content-dependent: hard ROW edges (the
+    96x128 checker scene above) drop it to ~35 dB, documented in
+    docs/PERFORMANCE.md -- the bench additionally gates it at 4K render."""
+    from image_denoising_filter_tpu.config import NlmParams, TilingConfig
+    from image_denoising_filter_tpu.ops import nlm_accumulate, normalize
+
+    r = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:256, 0:512].astype(np.float32)
+    clean = np.stack(
+        [
+            0.5 + 0.4 * np.sin(xx / 37.0) * np.cos(yy / 23.0),
+            0.5 + 0.4 * np.cos(xx / 53.0 + yy / 31.0),
+            0.5 + 0.3 * np.sin((xx + yy) / 41.0),
+            np.ones_like(xx),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    nz = (clean + r.normal(0, 0.05, clean.shape)).astype(np.float32)
+    nz[..., 3] = 1.0
+    nz2 = (clean + r.normal(0, 0.05, clean.shape)).astype(np.float32)
+    nz2[..., 3] = 1.0
+    bf16 = TilingConfig(compute_dtype="bfloat16")
+    exact = np.asarray(
+        normalize(*nlm_accumulate(nz, nz2, NlmParams(uniform_alpha=True)))
+    )
+    fast = np.asarray(
+        normalize(
+            *nlm_accumulate(
+                nz,
+                nz2,
+                NlmParams(
+                    uniform_alpha=True,
+                    search_stride=2,
+                    search_disk=disk,
+                    weights_halfres=True,
+                ),
+                bf16,
+            )
+        )
+    )
+    db = ref.psnr(fast[..., :3], exact[..., :3])
+    assert db >= min_db, f"hrw disk={disk}: {db:.1f} dB < {min_db}"
+
+
 def test_nlm_stride2_denoises_as_well_as_exact(rng):
     from image_denoising_filter_tpu.config import NlmParams
     from image_denoising_filter_tpu.ops import nlm_xla, normalize_xla

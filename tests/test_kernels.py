@@ -207,6 +207,67 @@ def test_nlm_search_disk_matches_disk_oracle(img, img2, impl, s, p, st):
     assert not np.array_equal(np.asarray(wc), np.asarray(wc_b))
 
 
+@pytest.mark.parametrize("disk", [False, True])
+@pytest.mark.parametrize(
+    "tiling", [None, TilingConfig(tile_h=16, tile_w=128)]  # 24 rows: ragged
+)
+def test_nlm_weights_halfres_pallas_matches_xla(img, img2, disk, tiling):
+    """weights_halfres (half-row-resolution weight field,
+    config.NlmParams.weights_halfres): the Pallas kernel's banded-MXU
+    pool/roll/upsample path must agree with the independent XLA lowering
+    (ops/xla.py halfres branch) -- including ragged row tiles, whose pooling
+    lattice must stay on the absolute even-row grid."""
+    params = NlmParams(
+        search_radius=5, search_stride=2, search_disk=disk, weights_halfres=True
+    )
+    wc_p, nw_p = nlm_accumulate(img, img2, params, tiling)
+    wc_x, nw_x = nlm_xla(img, img2, params)
+    np.testing.assert_allclose(
+        np.asarray(wc_p), np.asarray(wc_x), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(nw_p), np.asarray(nw_x), rtol=1e-5, atol=1e-6
+    )
+    # The knob is live: half-res weights differ from the full-res weights.
+    base = NlmParams(search_radius=5, search_stride=2, search_disk=disk)
+    wc_b, _ = nlm_xla(img, img2, base)
+    assert not np.array_equal(np.asarray(wc_x), np.asarray(wc_b))
+
+
+def test_nlm_weights_halfres_frames_matches_per_frame_sum(img, img2):
+    """weights_halfres through the frame-batched kernel (the temporal path):
+    one launch over the frame axis == the sum of per-frame XLA partials."""
+    from image_denoising_filter_tpu.ops import nlm_accumulate_frames
+
+    params = NlmParams(search_radius=4, search_stride=2, weights_halfres=True)
+    frames = np.stack([img2, img])
+    wc, nw = nlm_accumulate_frames(img, frames, params)
+    awc, anw = nlm_xla(img, img2, params)
+    bwc, bnw = nlm_xla(img, img, params)
+    np.testing.assert_allclose(
+        np.asarray(wc), np.asarray(awc + bwc), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(nw), np.asarray(anw + bnw), rtol=1e-5, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("impl", [nlm_accumulate, nlm_xla])
+def test_nlm_weights_halfres_validation(img, img2, impl):
+    """weights_halfres is only defined on the stride-2 / p=3 lattice (even dy
+    offsets, 3-row half window == the 6-row full box); both lowerings reject
+    anything else (tile heights are 8-aligned by _pick_tile, so the in-tile
+    half-row lattice needs no separate guard)."""
+    with pytest.raises(ValueError):
+        impl(img, img2, NlmParams(search_stride=1, weights_halfres=True))
+    with pytest.raises(ValueError):
+        impl(
+            img,
+            img2,
+            NlmParams(search_stride=2, patch_radius=2, weights_halfres=True),
+        )
+
+
 def test_nlm_bfloat16_compute_dtype_tolerance(img, img2):
     """compute_dtype=bfloat16 (opt-in speed knob): taps are cast to bf16, the
     SSD/weights accumulate in f32. Verify it is wired (output differs from f32
