@@ -307,3 +307,24 @@ def test_spatial_nlm_turbo_params_sharded():
     wwc, wnw = nlm_accumulate(t, n, params, bf16)
     np.testing.assert_allclose(np.asarray(wc), np.asarray(wwc), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(nw), np.asarray(wnw), rtol=1e-5, atol=1e-6)
+
+
+def test_spatial_nlm_weights_halfres_sharded():
+    """weights_halfres shards row-identically to single-device when the
+    per-shard row count and the halo (s + p) are both EVEN -- every shard's
+    local block then starts on the absolute even-row pooling lattice. The
+    reference NLM params (s=7, p=3: halo 10) satisfy this for any even
+    per-shard height (4K: 2160/8 = 270). Odd offsets would shift the lattice
+    by one row (still a valid approximation, not bitwise-equal; documented in
+    ops/stencils.py:_nlm_hrw_kernel)."""
+    from image_denoising_filter_tpu.config import TilingConfig
+    from image_denoising_filter_tpu.ops import nlm_accumulate
+
+    mesh = make_mesh((1, 4))
+    t, n = _frame(0, h=64), _frame(1, h=64)  # 16 rows/shard (even)
+    params = NlmParams(search_stride=2, weights_halfres=True)  # s=7, p=3
+    bf16 = TilingConfig(compute_dtype="bfloat16")
+    wc, nw = spatial_nlm_accumulate(t, n, params, mesh, bf16)
+    wwc, wnw = nlm_accumulate(t, n, params, bf16)
+    np.testing.assert_allclose(np.asarray(wc), np.asarray(wwc), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(nw), np.asarray(wnw), rtol=1e-5, atol=1e-6)
