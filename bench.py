@@ -272,6 +272,11 @@ def _measure(out: dict) -> None:
     nlm_turbo: dict = {}
 
     def phase_turbo_nlm():
+        # Per-setting fencing: one setting's compile failure (run-1 lost the
+        # hrw rows to a Mosaic error) records its error and lets the sibling
+        # rows still land; a genuinely dead backend fails the phase via the
+        # re-raised last error.
+        last_err = None
         for s_r, st, disk, hrw in NLM_TURBO_SETTINGS:
             nlp_t = NlmParams(
                 uniform_alpha=True,
@@ -280,13 +285,22 @@ def _measure(out: dict) -> None:
                 search_disk=disk,
                 weights_halfres=hrw,
             )
-            mpix, fit = chiptime.measure_mpix(
-                lambda nb, p=nlp_t: nlm_accumulate(noise, nb, p, bf16)[0],
-                noise2,
-                n_pixels=n_px,
-                ks=(1, 4, 10),
-            )
-            nlm_turbo[(s_r, st, disk, hrw)] = (mpix, fit)
+            try:
+                mpix, fit = chiptime.measure_mpix(
+                    lambda nb, p=nlp_t: nlm_accumulate(noise, nb, p, bf16)[0],
+                    noise2,
+                    n_pixels=n_px,
+                    ks=(1, 4, 10),
+                )
+                nlm_turbo[(s_r, st, disk, hrw)] = (mpix, fit)
+            except Exception as e:  # noqa: BLE001
+                last_err = e
+                out.setdefault("phase_errors", []).append(
+                    f"turbo_nlm[{s_r},{st},{int(disk)},{int(hrw)}]: "
+                    f"{type(e).__name__}: {e}"[:300]
+                )
+        if last_err is not None and not nlm_turbo:
+            raise last_err
 
     phases.run("turbo_nlm", phase_turbo_nlm)
 
@@ -360,6 +374,7 @@ def _measure(out: dict) -> None:
         exact_4k = np.asarray(
             normalize(*nlm_accumulate(render, render2, nlp))
         )
+        last_err = None
         for s_r, st, disk, hrw in NLM_TURBO_SETTINGS:
             nlp_g = NlmParams(
                 uniform_alpha=True,
@@ -368,20 +383,30 @@ def _measure(out: dict) -> None:
                 search_disk=disk,
                 weights_halfres=hrw,
             )
-            db_small = ref.psnr(
-                np.asarray(
-                    normalize(*nlm_accumulate(nz_d, nz2_d, nlp_g, bf16))
-                )[..., :3],
-                exact_small[..., :3],
-            )
-            db_4k = ref.psnr(
-                np.asarray(
-                    normalize(*nlm_accumulate(render, render2, nlp_g, bf16))
-                )[..., :3],
-                exact_4k[..., :3],
-            )
+            try:
+                db_small = ref.psnr(
+                    np.asarray(
+                        normalize(*nlm_accumulate(nz_d, nz2_d, nlp_g, bf16))
+                    )[..., :3],
+                    exact_small[..., :3],
+                )
+                db_4k = ref.psnr(
+                    np.asarray(
+                        normalize(*nlm_accumulate(render, render2, nlp_g, bf16))
+                    )[..., :3],
+                    exact_4k[..., :3],
+                )
+            except Exception as e:  # noqa: BLE001
+                last_err = e
+                out.setdefault("phase_errors", []).append(
+                    f"gates_nlm[{s_r},{st},{int(disk)},{int(hrw)}]: "
+                    f"{type(e).__name__}: {e}"[:300]
+                )
+                continue
             nlm_gates[(s_r, st, disk, hrw)] = (db_small, db_4k)
             nlm_gate_ok[(s_r, st, disk, hrw)] = min(db_small, db_4k) >= GATE_DB
+        if last_err is not None and not nlm_gates:
+            raise last_err
 
     phases.run("gates_nlm", phase_gates_nlm)
 

@@ -727,11 +727,14 @@ def _nlm_hrw_kernel(
         ).astype(cdtype)[:, lht - p : lht - p + ew]
         for c in range(3)
     )
-    # Pooled neighbour planes, cells ih in [-rhn/2, th2 + rhn/2).
+    # Pooled neighbour planes, cells ih in [-rhn/2, th2 + rhn/2). Carried
+    # (and rolled) in f32 like _nlm_kernel's full-res planes -- Mosaic's
+    # dynamic_rotate has no bf16 lowering ("Rotate with non-32-bit data"), so
+    # the cdtype cast happens per-candidate at the slice, not on the carry.
     nh0 = tuple(
         jnp.dot(
             pnm, nbr_tile[c].astype(pnm.dtype), preferred_element_type=jnp.float32
-        ).astype(cdtype)
+        )
         for c in range(3)
     )
 
@@ -760,9 +763,9 @@ def _nlm_hrw_kernel(
             n0 = vh[0][erow_h : erow_h + th2 + 4, c0 : c0 + ew]
             n1 = vh[1][erow_h : erow_h + th2 + 4, c0 : c0 + ew]
             n2 = vh[2][erow_h : erow_h + th2 + 4, c0 : c0 + ew]
-            d0 = t_e[0] - n0
-            d1 = t_e[1] - n1
-            d2 = t_e[2] - n2
+            d0 = t_e[0] - n0.astype(cdtype)
+            d1 = t_e[1] - n1.astype(cdtype)
+            d2 = t_e[2] - n2.astype(cdtype)
             e = (d0 * d0 + d1 * d1 + d2 * d2).astype(jnp.float32)
             # 3-row half window anchored at ih-1, then the 2p-lane box.
             e3 = e[:-2] + e[1:-1] + e[2:]  # cells ih in [-1, th2+1)
