@@ -310,6 +310,17 @@ def _default_guided_fused(d: int) -> bool:
     return False
 
 
+def _default_cull_mask(d: int) -> bool:
+    """Boundary-garbage handling in the slice kernels' culling reduction
+    (exact either way; see _slice_grid_pallas). Round-4 chip A/B
+    (tools/cullmask_ab_r3.py + interleaved rechecks, docs/PERFORMANCE.md):
+    the unmasked reduce (scalar NaN guards, garbage only widens bounds) wins
+    both content classes at d=2 (+8.6%/+5.4%) and d=8 (+8.7%/+3.7%); at d=4
+    it is a wash (render +2-3%, noise -2-4% interleaved), so d=4 keeps the
+    masked reduce of the round-3 bench of record."""
+    return d != 4
+
+
 def _grid_pipeline_planar(
     planar: jnp.ndarray,  # (4, H, W) float32
     params: BilateralParams,
@@ -318,7 +329,7 @@ def _grid_pipeline_planar(
     tile_h: int | None = None,
     tile_w: int | None = None,
     build_tile: tuple[int, int] | None = None,
-    cull_mask: bool = True,
+    cull_mask: bool | None = None,  # None -> _default_cull_mask(d)
     out_dtype=jnp.float32,
     fused: bool | None = None,
 ) -> jnp.ndarray:
@@ -342,6 +353,8 @@ def _grid_pipeline_planar(
     # 16-multiple (bf16 sublane tiling), or Mosaic rejects the tile index.
     tile_h = max(16 * d, min(tile_h, _round_up(h, 16 * d)))
     tile_w = max(128 * d, min(tile_w, _round_up(w, 128 * d)))
+    if cull_mask is None:
+        cull_mask = _default_cull_mask(d)
     if fused is None:
         fused = _default_fused(d)
     if fused:
