@@ -305,9 +305,18 @@ def _default_fused(d: int) -> bool:
 
 
 def _default_guided_fused(d: int) -> bool:
-    """Same decision for the guided-layers pipeline's fused build+slice
-    kernel (chip A/B, tools/fused_guided_ab_r4.py). OFF until measured."""
-    return False
+    """Whether the guided-layers pipeline defaults to the fused build+slice
+    kernel at this downsample. Round-4 chip A/B (tools/fused_guided_ab_r4.py,
+    docs/PERFORMANCE.md): unlike the bilateral family (where fusion LOSES
+    22-25% -- its bf16 grid is small enough that the HBM round-trip beats
+    re-blurring the build halo per slice tile), the guided grid is nc*K = 42
+    bf16 planes (~174 MB at 4K/d=2) and the round-trip dominates: fused wins
+    d=2 1,509 vs 1,076 Mpix/s render (+40%, +35% noise) and d=4 2,768 vs
+    2,333 (+19%, +9% noise). d=8 is unmeasured for the guided family and the
+    bilateral trend says fusion's halo overhead grows with d, so it stays on
+    the two-kernel path. The sharded path uses the two-kernel building
+    blocks directly either way."""
+    return d in (2, 4)
 
 
 def _default_cull_mask(d: int) -> bool:
