@@ -327,3 +327,30 @@ def test_multiframe_mixed_alpha_frames_exact(tmp_path):
     model = TemporalNlmDenoiser(NP_)  # full path everywhere
     want = np.asarray(model(timg, stack))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_run_turbo_default_levels_per_d(tmp_path):
+    """levels=None resolves the per-d default: K=5 at downsample=4 for the
+    bilateral family (measured identical dB to K=6 and +10-16% in both
+    round-4 full-bench captures), K=6 at other d and for the layers family
+    (whose K=5 point is unmeasured). Explicit levels= always wins."""
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 1, (24, 32, 4)).astype(np.float32)
+    img[..., 3] = 1.0
+    target = str(tmp_path / "turbo_0000.png")
+    imageio.save(target, img)
+
+    def fresh():
+        return Session(target, bilateral_params=BP, layers_params=LP,
+                       output_dir=str(tmp_path))
+
+    cfg = RunConfig()
+    d4_default = fresh().run_turbo(cfg, downsample=4).image
+    d4_k5 = fresh().run_turbo(cfg, levels=5, downsample=4).image
+    d4_k6 = fresh().run_turbo(cfg, levels=6, downsample=4).image
+    np.testing.assert_array_equal(d4_default, d4_k5)
+    assert np.any(d4_default != d4_k6)
+
+    d2_default = fresh().run_turbo(cfg, downsample=2).image
+    d2_k6 = fresh().run_turbo(cfg, levels=6, downsample=2).image
+    np.testing.assert_array_equal(d2_default, d2_k6)
