@@ -58,9 +58,14 @@ import numpy as np
 GATE_DB = 40.0
 
 # Bilateral-grid settings shipped through --turbo D (ops/fast.py); K is the
-# Session.run_turbo(levels=) knob. K=6 == K=8 quality (25% faster); (4, 5)
-# measures IDENTICAL dB to (4, 6) on both gate contents and ~5% faster still.
-TURBO_SETTINGS = ((2, 6), (4, 6), (4, 5), (8, 6))  # (downsample, levels)
+# Session.run_turbo(levels=) knob. K=6 == K=8 quality (25% faster); K=5
+# measures IDENTICAL dB to K=6 at every d on both gate contents
+# (tools/quality_ladders_r3.py) and is the round-4 shipping default at
+# d=2/d=4: +10-16% at d=4 in both round-4 full-bench captures, +11-13% at
+# d=2 in the interleaved A/B (tools/k_ab_d2_r4.py -- d=2 K=5 crossed the
+# round-3 VERDICT's 2,400 Mpix/s mark at 2,415/2,461 render/noise). K=6
+# rows stay for cross-round comparability.
+TURBO_SETTINGS = ((2, 6), (2, 5), (4, 6), (4, 5), (8, 6))  # (d, levels)
 # NLM turbo settings: (search_radius, search_stride, search_disk,
 # weights_halfres). (7, 2) is the default (49 of 196 candidates); (6, 2)
 # trims to 36 -- 41.0 dB vs exact on the gate content; (7, 2, disk) trims to

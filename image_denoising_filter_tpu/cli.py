@@ -103,6 +103,13 @@ def main(argv: list[str] | None = None) -> int:
         "(36 of 196 candidates, 41.0 dB vs exact on the bench gate)",
     )
     ap.add_argument(
+        "--turbo-levels", type=int, default=None, metavar="K",
+        help="override the bilateral-grid intensity-level count for --turbo "
+        "(default: per-D resolution -- K=5 at D=2/4 for the bilateral "
+        "family, measured identical quality to K=6 and 10-16%% faster; K=6 "
+        "otherwise and for the layers family; docs/PERFORMANCE.md)",
+    )
+    ap.add_argument(
         "--batch-frames", action="store_true",
         help="run non-overlap multiframe NLM as frame-batched kernel "
         "launches (stacked upload; weight accumulators stay VMEM-resident "
@@ -224,7 +231,9 @@ def main(argv: list[str] | None = None) -> int:
                     continue
                 print(f"<<<--- {_banner(cfg)} --->>>")
                 if args.turbo and key in ("bilateral", "linear", "layers"):
-                    result = session.run_turbo(cfg, downsample=args.turbo)
+                    result = session.run_turbo(
+                        cfg, levels=args.turbo_levels, downsample=args.turbo
+                    )
                 else:
                     result = session.run(cfg)
                 print(f"\toutput: {result.output_path}")

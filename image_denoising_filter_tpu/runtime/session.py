@@ -566,17 +566,18 @@ class Session:
         """Approximate bilateral-grid mode for the bilateral and layers
         configs (opt-in; ~49 dB vs the exact kernel at downsample=2, ~45 dB
         at 4 -- see ops/fast.py). Writes the same flag-encoded output name.
-        levels=None resolves the per-d default: K=5 at downsample=4 for the
-        bilateral family (measures IDENTICAL dB to K=6 on both bench gate
-        contents at every d, and +10-16% throughput in both round-4
-        full-bench captures -- bench.py's turbo_d4k5 vs turbo_d4 rows),
-        K=6 everywhere else; the layers family keeps K=6 at every d (its
-        K=5 speed/quality point is unmeasured)."""
+        levels=None resolves the per-d default: K=5 at downsample 2 and 4
+        for the bilateral family (measures IDENTICAL dB to K=6 on both
+        bench gate contents at every d -- tools/quality_ladders_r3.py --
+        and is measured faster on chip: +10-16% at d=4 in both round-4
+        full-bench captures, +11-13% at d=2 in the interleaved A/B of
+        tools/k_ab_d2_r4.py), K=6 everywhere else; the layers family keeps
+        K=6 at every d (its K=5 speed point is unmeasured on chip)."""
         assert not cfg.nlm, "turbo NLM runs through run() with search_stride"
         from ..ops.fast import bilateral_fast
 
         if levels is None:
-            levels = 5 if (downsample == 4 and not cfg.use_layers) else 6
+            levels = 5 if (downsample in (2, 4) and not cfg.use_layers) else 6
 
         if downsample >= 8 and self.bilateral_params.sigma_spatial < 5.0:
             # Measured crossover (tools/quality_ladders_r3.py): at 4K an
