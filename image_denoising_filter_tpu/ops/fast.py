@@ -970,7 +970,23 @@ def _build_grid_pallas(
     tile_h: int = 128,
     tile_w: int = 1024,  # round-2 sweep: 128x1024 at 4K (d=4: +40% over 512)
     uniform_alpha: bool = False,
+    extend_to: tuple[int, int] | None = None,
 ):
+    """Fused grid-construction kernel; see the module-level banner.
+
+    extend_to=(R, C) (round-5, VERDICT #4 "d=2 glue"): emit the grid DIRECTLY
+    in the slice kernel's padded slab layout -- (nc*K, R, C) with row 0 the
+    edge-dup of cell 0 (the slice's lead cell -1), rows 1..hs the real cells,
+    rows hs+1.. the edge-dup of cell hs-1, and likewise for columns -- so
+    _slice_grid_pallas's full-grid jnp.pad copy (~150 MB of HBM traffic at
+    4K/d=2) disappears. Values are BIT-IDENTICAL to the legacy
+    build-then-pad path: the replicated rows/cols are fixed up in-kernel
+    (same roll/where idiom as the fused kernel's edge_fix), and cells beyond
+    hs+1/ws+1 -- which the slice only ever multiplies by structurally-zero
+    upsample weights for valid pixels -- hold finite blur-of-edge-pad values.
+    Caller must guarantee hs %% th != th-1 and ws %% tw != tw-1 (else the
+    block holding cell hs cannot replicate into cell hs+1; use the legacy
+    path -- see _grid_pipeline_planar's fallback)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -979,18 +995,42 @@ def _build_grid_pallas(
     r = (len(taps) - 1) // 2
     rh = -(-r // 4) * 4
     lh = 128
+    extend = extend_to is not None
+    if extend:
+        out_rows, out_cols = extend_to
+        assert out_rows >= hs + 2 and out_cols >= ws + 2
+    else:
+        out_rows, out_cols = hs, ws
     # Output is bf16 (16-row sublane tiles): round the tile height to 16 so
     # small grids (tiny shards, heavy downsample) keep a Mosaic-legal output
     # block on the real chip.
-    th = min(tile_h, -(-hs // 16) * 16)
-    tw = min(tile_w, -(-ws // 128) * 128)
-    nh, nw = -(-hs // th), -(-ws // tw)
+    th = min(tile_h, -(-out_rows // 16) * 16)
+    tw = min(tile_w, -(-out_cols // 128) * 128)
+    nh, nw = -(-out_rows // th), -(-out_cols // tw)
     mode = "edge" if border == BorderPolicy.CLAMP else "constant"
-    padded = jnp.pad(
-        small,
-        ((0, 0), (rh, rh + nh * th - hs), (lh, lh + nw * tw - ws)),
-        mode=mode,
-    )
+    if extend:
+        # Output row q maps to pooled cell q-1: shift the pad by one cell so
+        # block i's DMA window (rows i*th .. i*th+th+2rh) centers output row
+        # t on pooled row i*th + t - 1. Edge mode keeps every overhang cell
+        # finite; the fixups below replace the ones that must be EXACT dups.
+        assert hs % th != th - 1 and ws % tw != tw - 1
+        padded = jnp.pad(
+            small,
+            (
+                (0, 0),
+                (rh + 1, nh * th + rh - 1 - hs),
+                (lh + 1, nw * tw + lh - 1 - ws),
+            ),
+            mode=mode,
+        )
+        i_bnd, q_loc = hs // th, hs % th  # block/row of cell hs-1's dup source
+        j_bnd, p_loc = ws // tw, ws % tw
+    else:
+        padded = jnp.pad(
+            small,
+            ((0, 0), (rh, rh + nh * th - hs), (lh, lh + nw * tw - ws)),
+            mode=mode,
+        )
     lim = jnp.stack([lmin, step], axis=1)  # (3, 2)
     eh, ew = th + 2 * r, tw + 2 * r  # extended region for the separable blur
 

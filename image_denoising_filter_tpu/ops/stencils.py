@@ -690,8 +690,11 @@ def _nlm_hrw_kernel(
     Pooling pairs scratch rows (2r, 2r+1): tile starts (i*th) and both halos
     (rht, rhn) are even, so the pairs sit on the absolute even-row lattice --
     identical to the XLA oracle's global pooling. Sharded callers note: a
-    shard whose local row offset is odd shifts this lattice by one row
-    (still a valid approximation, but not bitwise-equal to single-device)."""
+    shard whose local row offset is odd would shift this lattice by one row
+    (still a valid approximation, but not bitwise-equal to single-device);
+    parallel.spatial._check_hrw_lattice REFUSES such partitions (odd
+    rows-per-shard or odd s+p halo) so the approximation never silently
+    changes with the mesh shape."""
     halo = s + p
     th2 = th // 2
     i, j, f = pl.program_id(0), pl.program_id(1), pl.program_id(2)

@@ -168,3 +168,105 @@ def measure_mpix(
         fn, x0, *extra, ks=ks, repeats=repeats, refeed=refeed, **kw
     )
     return fit.mpix_s(n_pixels), fit
+
+
+@dataclasses.dataclass
+class ABResult:
+    """Interleaved A/B comparison result. `samples[name]` holds one Mpix/s
+    figure per interleaved round; `medians[name]` their median."""
+
+    names: tuple
+    samples: dict  # name -> list of per-round Mpix/s
+    medians: dict  # name -> median Mpix/s
+
+    def delta_pct(self, a: str, b: str) -> float:
+        """Median speedup of a over b, in percent."""
+        return (self.medians[a] / self.medians[b] - 1.0) * 100.0
+
+    def verdict(self, a: str, b: str, min_delta_pct: float = 3.0) -> str:
+        """Conservative call between two variants: a winner is declared only
+        when every interleaved round agrees on the sign AND the median delta
+        clears `min_delta_pct`; otherwise 'wash'. With a single round the
+        method cannot separate a <10% delta from session drift (the round-4
+        cull_mask lesson: +12.6% in one capture, a wash interleaved), so it
+        REFUSES: any sub-10% single-round delta returns 'unreliable'."""
+        deltas = [
+            (sa / sb - 1.0) * 100.0
+            for sa, sb in zip(self.samples[a], self.samples[b])
+        ]
+        med = self.delta_pct(a, b)
+        if len(deltas) < 2 and abs(med) < 10.0:
+            return "unreliable (single round, |delta| < 10%: rerun interleaved)"
+        if abs(med) < min_delta_pct:
+            return "wash"
+        if all(d > 0 for d in deltas):
+            return a
+        if all(d < 0 for d in deltas):
+            return b
+        return "wash (sign flips across rounds)"
+
+    def summary(self, base: str | None = None) -> str:
+        base = base or self.names[0]
+        lines = []
+        for name in self.names:
+            per_round = "/".join(f"{s:.0f}" for s in self.samples[name])
+            rel = (
+                ""
+                if name == base
+                else f"  ({self.delta_pct(name, base):+.1f}% vs {base})"
+            )
+            lines.append(
+                f"{name}: median {self.medians[name]:.0f} Mpix/s "
+                f"[rounds {per_round}]{rel}"
+            )
+        for name in self.names:
+            if name != base:
+                lines.append(f"verdict {name} vs {base}: {self.verdict(name, base)}")
+        return "\n".join(lines)
+
+
+def ab_compare(
+    variants: dict,  # name -> fn(x, *extra)
+    x0,
+    *extra,
+    n_pixels: int,
+    ks: Sequence[int] = (1, 8, 32),
+    rounds: int = 3,
+    repeats: int = 3,
+    refeed: bool = True,
+    verbose: bool = True,
+    **kw,
+) -> ABResult:
+    """Interleaved A/B(/C...) throughput comparison -- the ONLY sanctioned
+    way to compare variants across programs on this backend (round-4 drift
+    lesson, docs/PERFORMANCE.md: cross-program throughput drifts +-5-7%
+    between captures even for identical code, so any single-capture delta
+    under ~10% is noise). Visits every variant once per round, A/B/A/B, so
+    drift spreads evenly; each visit is a full K-chain slope fit. Use
+    `ABResult.verdict()` to decide -- it refuses single-round sub-10% calls
+    and demands sign-consistency across rounds."""
+    names = tuple(variants)
+    samples: dict = {name: [] for name in names}
+    # No separate warm pass needed: slope_time compiles and warms its chain
+    # program before sampling, and the slope method is insensitive to
+    # when compiles happen between measurements.
+    for r in range(rounds):
+        for name, fn in variants.items():
+            fit = slope_time(
+                fn, x0, *extra, ks=ks, repeats=repeats, refeed=refeed, **kw
+            )
+            mpix = fit.mpix_s(n_pixels)
+            samples[name].append(mpix)
+            if verbose:
+                print(
+                    f"round {r} {name}: {mpix:8.0f} Mpix/s "
+                    f"(spread {fit.spread * 100:.1f}%)",
+                    flush=True,
+                )
+    medians = {
+        name: sorted(v)[len(v) // 2] for name, v in samples.items()
+    }
+    res = ABResult(names=names, samples=samples, medians=medians)
+    if verbose:
+        print(res.summary(), flush=True)
+    return res

@@ -14,14 +14,18 @@ Both are exact (identical outputs). Which is FASTER depends on what the
 boundary garbage actually is on the chip (stale VMEM from the previous grid
 step vs noise) and how much culling the render content loses. The noise
 floor cannot cull either way, so cull_mask=False should be a pure win there.
+Round-5: rewired through the shared interleaved harness
+(utils/chiptime.ab_compare) -- the round-4 first capture of d=4 (+12.6%
+render) was session drift that an interleaved recheck washed out.
 
-Run on the chip: python tools/cullmask_ab_r3.py
+Run on the chip: python tools/cullmask_ab_r3.py [rounds]
 """
 
 from __future__ import annotations
 
 import functools
 import os
+import sys
 
 import jax
 
@@ -49,6 +53,7 @@ def pipeline(img, levels: int, d: int, cull_mask: bool, out_bf16: bool = False):
 
 def main():
     compile_cache.enable()
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     h, w = 2160, 3840
     smoke = bool(os.environ.get("CULLMASK_AB_SMOKE"))
     if smoke:  # tiny CPU equivalence check (interpret mode)
@@ -69,19 +74,20 @@ def main():
         if not smoke:
             ks = (1, 16, 64) if d >= 8 else (1, 8, 32) if d > 2 else (1, 4, 16)
             for content_name, img in (("render", render), ("noise", noise)):
-                for mask, bf16 in ((True, False), (False, False), (False, True)):
-                    mpix, fit = chiptime.measure_mpix(
-                        lambda x, d=d, m=mask, b=bf16: pipeline(x, 6, d, m, b),
-                        img,
-                        n_pixels=n_px,
-                        ks=ks,
-                    )
-                    print(
-                        f"d={d} {content_name} cull_mask={mask} "
-                        f"out_bf16={bf16}: {mpix:.0f} Mpix/s "
-                        f"(slope {fit.slope*1e3:.3f} ms, "
-                        f"spread {fit.spread:.1%})"
-                    )
+                print(f"--- d={d} {content_name} ---", flush=True)
+                chiptime.ab_compare(
+                    {
+                        "masked": lambda x, d=d: pipeline(x, 6, d, True),
+                        "unmasked": lambda x, d=d: pipeline(x, 6, d, False),
+                        "unmasked_bf16out": lambda x, d=d: pipeline(
+                            x, 6, d, False, True
+                        ),
+                    },
+                    img,
+                    n_pixels=n_px,
+                    ks=ks,
+                    rounds=rounds,
+                )
         a = np.asarray(pipeline(render, 6, d, True))
         b = np.asarray(pipeline(render, 6, d, False))
         print(f"d={d} max|masked-unmasked| = {np.abs(a - b).max():.2e}")
