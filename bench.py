@@ -123,8 +123,13 @@ NLM_TURBO_SETTINGS = (
     (7, 2, False, True),
 )
 # Guided-layers turbo downsamples (per-layer unit of the layers battery
-# config, /root/reference/src/main.cpp:1957).
+# config, /root/reference/src/main.cpp:1957). K=5 is the round-5 shipping
+# default for the layers family too (quality within 0.1-0.3 dB of K=6,
+# tools/layers_k5_screen_r4.py; speed +7.2% at d=2 / +18-51% at d=4
+# interleaved, tools/layers_k_ab_r4.py) -- the rows and gates below measure
+# the shipped configuration.
 LAYERS_TURBO_DS = (2, 4)
+LAYERS_LEVELS = 5
 
 _PROBE_SRC = (
     "import jax, jax.numpy as jnp, numpy as np;"
@@ -674,7 +679,7 @@ def _measure(rec: _Record, phases: _Phases) -> None:
                 rec.note(f"turbo_layers[d{d}]: skipped (deadline)")
                 continue
             fn = lambda t, d=d: normalize_layers_fast(  # noqa: E731
-                *cross_bilateral_layers_fast(t, l_dev, lp, 6, d)
+                *cross_bilateral_layers_fast(t, l_dev, lp, LAYERS_LEVELS, d)
             )
             ks = (1, 4, 16) if d <= 2 else (1, 8, 32)
             mpix, fit = chiptime.measure_mpix(fn, render, n_pixels=n_px, ks=ks)
@@ -698,12 +703,12 @@ def _measure(rec: _Record, phases: _Phases) -> None:
         for d in LAYERS_TURBO_DS:
             got_small = np.asarray(
                 normalize_layers_fast(
-                    *cross_bilateral_layers_fast(nz_d, guide_s, lp, 6, d)
+                    *cross_bilateral_layers_fast(nz_d, guide_s, lp, LAYERS_LEVELS, d)
                 )
             )[..., :3]
             got_4k = np.asarray(
                 normalize_layers_fast(
-                    *cross_bilateral_layers_fast(render, l_dev, lp, 6, d)
+                    *cross_bilateral_layers_fast(render, l_dev, lp, LAYERS_LEVELS, d)
                 )
             )[..., :3]
             db_small = ref.psnr(got_small, exact_small)

@@ -319,6 +319,19 @@ def _default_guided_fused(d: int) -> bool:
     return d in (2, 4)
 
 
+def _default_pad_free(d: int) -> bool:
+    """Whether the two-kernel pipeline defaults to the PAD-FREE grid layout:
+    the build kernel emits the grid directly in the slice kernel's padded
+    slab layout (_build_grid_pallas extend_to), removing the full-grid
+    jnp.pad copy between them (~150 MB of HBM traffic at 4K/d=2, ~37 MB at
+    d=4 -- the single biggest remaining glue item of round-4 VERDICT #4).
+    Outputs match to the stored-grid bf16-ulp contract (tests/test_fast.py).
+    Costs: the build computes/writes the overhang cells too (~10-20%% more
+    build work at 4K). OFF until the round-5 chip A/B
+    (tools/padfree_ab_r5.py)."""
+    return False
+
+
 def _default_cull_mask(d: int) -> bool:
     """Boundary-garbage handling in the slice kernels' culling reduction
     (exact either way; see _slice_grid_pallas). Round-4 chip A/B
@@ -341,6 +354,7 @@ def _grid_pipeline_planar(
     cull_mask: bool | None = None,  # None -> _default_cull_mask(d)
     out_dtype=jnp.float32,
     fused: bool | None = None,
+    pad_free: bool | None = None,  # None -> _default_pad_free(d)
 ) -> jnp.ndarray:
     """The Pallas grid pipeline: pool -> build grid -> slice, either as two
     kernels (grid through HBM) or as the fully-fused single kernel
@@ -387,6 +401,27 @@ def _grid_pipeline_planar(
     step = jnp.maximum(lmax - lmin, 1e-6) / (levels - 1)
     taps = _grid_taps(params.sigma_spatial, d)
     bth, btw = build_tile if build_tile is not None else _default_build_tile(d)
+    if pad_free is None:
+        pad_free = _default_pad_free(d)
+    extend_to = None
+    if pad_free:
+        # Slice slab geometry (mirrors _slice_grid_pallas): the extended
+        # build emits the grid at exactly the padded slab extent so the
+        # slice's grid pad copy vanishes.
+        hs, ws = hp // d, wp // d
+        ghs, gws = tile_h // d, tile_w // d
+        slab_h = _round_up(ghs + 2, 16)  # bf16 grid: (16, 128) tiles
+        slab_w = _round_up(gws + 2, 128)
+        nh_s, nw_s = -(-h // tile_h), -(-w // tile_w)
+        th_tot = max((nh_s - 1) * ghs + slab_h, hs + 2)
+        tw_tot = max((nw_s - 1) * gws + slab_w, ws + 2)
+        # The extended build can only replicate cell hs-1 into cell hs's
+        # slot when both live in the same output block (same for columns):
+        # fall back to the legacy pad path on the rare offending shapes.
+        bth_eff = min(bth, _round_up(th_tot, 16))
+        btw_eff = min(btw, _round_up(tw_tot, 128))
+        if hs % bth_eff != bth_eff - 1 and ws % btw_eff != btw_eff - 1:
+            extend_to = (th_tot, tw_tot)
     grid_k = _build_grid_pallas(
         small,
         lmin,
@@ -398,6 +433,7 @@ def _grid_pipeline_planar(
         tile_h=bth,
         tile_w=btw,
         uniform_alpha=ua,
+        extend_to=extend_to,
     )
     # Uniform alpha: sum(tent_k) == 1 and the grid's alpha payload is the
     # constant itself, so the output alpha plane is just that constant --
@@ -407,7 +443,9 @@ def _grid_pipeline_planar(
     # The slice kernel takes the UNPADDED guide and writes the unpadded
     # output (ragged boundary blocks are masked): no full-res pad/crop
     # copies. pad_edge folds the grid's (1, 1) edge pad into the slab
-    # alignment pad -- one grid copy instead of two.
+    # alignment pad -- one grid copy instead of two; with the extended
+    # (pad-free) build the grid is already IN slab layout and the slice
+    # pads nothing at all.
     return _slice_grid_pallas(
         planar[:3],
         grid_k,
@@ -419,7 +457,7 @@ def _grid_pipeline_planar(
         tile_w,
         uniform_alpha=ua,
         alpha_val=alpha_val,
-        pad_edge=True,
+        pad_edge=extend_to is None,
         cull_mask=cull_mask,
         out_dtype=out_dtype,
     )
@@ -503,15 +541,20 @@ def _slice_grid_pallas(
     lead = 1 if pad_edge else 0
     th_tot = max((nh - 1) * ghs + slab_h, grid.shape[1] + 2 * lead)
     tw_tot = max((nw - 1) * gws + slab_w, grid.shape[2] + 2 * lead)
-    grid_p = jnp.pad(
-        grid,
-        (
-            (0, 0),
-            (lead, th_tot - grid.shape[1] - lead),
-            (lead, tw_tot - grid.shape[2] - lead),
-        ),
-        mode="edge",
-    )
+    if lead == 0 and th_tot == grid.shape[1] and tw_tot == grid.shape[2]:
+        # Grid already in slab layout (the extended build kernel emits it
+        # directly, _build_grid_pallas extend_to): no pad copy at all.
+        grid_p = grid
+    else:
+        grid_p = jnp.pad(
+            grid,
+            (
+                (0, 0),
+                (lead, th_tot - grid.shape[1] - lead),
+                (lead, tw_tot - grid.shape[2] - lead),
+            ),
+            mode="edge",
+        )
     # lim rows 0-2: (lmin, 1/step) per channel; row 3: (alpha_const, 0).
     av = alpha_val if uniform_alpha else jnp.float32(0.0)
     lim = jnp.concatenate(
@@ -979,11 +1022,15 @@ def _build_grid_pallas(
     edge-dup of cell 0 (the slice's lead cell -1), rows 1..hs the real cells,
     rows hs+1.. the edge-dup of cell hs-1, and likewise for columns -- so
     _slice_grid_pallas's full-grid jnp.pad copy (~150 MB of HBM traffic at
-    4K/d=2) disappears. Values are BIT-IDENTICAL to the legacy
-    build-then-pad path: the replicated rows/cols are fixed up in-kernel
-    (same roll/where idiom as the fused kernel's edge_fix), and cells beyond
+    4K/d=2) disappears. Values match the legacy build-then-pad path to the
+    STORED-GRID bf16 contract (tests/test_fast.py, same as the fused kernel
+    and sharded tests): the replicated rows/cols are fixed up in-kernel
+    (same roll/where idiom as the fused kernel's edge_fix) and cells beyond
     hs+1/ws+1 -- which the slice only ever multiplies by structurally-zero
-    upsample weights for valid pixels -- hold finite blur-of-edge-pad values.
+    upsample weights for valid pixels -- hold finite blur-of-edge-pad
+    values; the only divergence is the one-cell input shift moving the blur
+    band inside the dot contraction, whose ~1-f32-ulp reduction regrouping
+    occasionally flips a stored cell one bf16 ulp.
     Caller must guarantee hs %% th != th-1 and ws %% tw != tw-1 (else the
     block holding cell hs cannot replicate into cell hs+1; use the legacy
     path -- see _grid_pipeline_planar's fallback)."""
@@ -1063,6 +1110,50 @@ def _build_grid_pallas(
         vm = v_ref[:]
         hm = h_ref[:]
 
+        if extend:
+            # Edge-dup fixups reproducing the legacy jnp.pad(mode="edge")
+            # exactly: output row 0 (cell -1) := row 1 (cell 0, first block
+            # only); rows past cell hs-1's slot := that slot (the block
+            # holding it only -- later blocks keep finite blur-of-pad values
+            # that valid pixels never read with nonzero weight); same for
+            # columns. The roll amount is STATIC (the bf16 dynamic-rotate
+            # Mosaic trap does not apply), and fixups run on the f32 values
+            # before the bf16 store.
+            wr = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+            wc_i = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+            is_top = i == 0
+            is_bnd_r = i == i_bnd
+            is_left = j == 0
+            is_bnd_c = j == j_bnd
+
+            def fix(x):
+                x = jnp.where(
+                    jnp.logical_and(wr == 0, is_top),
+                    jnp.roll(x, -1, axis=0),
+                    x,
+                )
+                x = jnp.where(
+                    jnp.logical_and(wr > q_loc, is_bnd_r),
+                    x[q_loc : q_loc + 1, :],
+                    x,
+                )
+                x = jnp.where(
+                    jnp.logical_and(wc_i == 0, is_left),
+                    jnp.roll(x, -1, axis=1),
+                    x,
+                )
+                x = jnp.where(
+                    jnp.logical_and(wc_i > p_loc, is_bnd_c),
+                    x[:, p_loc : p_loc + 1],
+                    x,
+                )
+                return x
+
+        else:
+
+            def fix(x):
+                return x
+
         def blur(x):
             # (eh, ew) -> (th, ew) -> (th, tw): two banded MXU matmuls
             # (single-pass bf16 via default dot precision).
@@ -1087,13 +1178,13 @@ def _build_grid_pallas(
                 if c == 1 and not uniform_alpha:
                     na = blur(wk * ext[3])
             for c in range(3):
-                out_ref[nc * k + c] = (
+                out_ref[nc * k + c] = fix(
                     num[c] / jnp.maximum(den[c], 1e-20)
                 ).astype(out_ref.dtype)
             if not uniform_alpha:
-                out_ref[nc * k + 3] = (na / jnp.maximum(den[1], 1e-20)).astype(
-                    out_ref.dtype
-                )
+                out_ref[nc * k + 3] = fix(
+                    na / jnp.maximum(den[1], 1e-20)
+                ).astype(out_ref.dtype)
 
     return pl.pallas_call(
         kern,
@@ -1109,7 +1200,9 @@ def _build_grid_pallas(
         # MXU matmuls anyway, so storing it bf16 halves the grid's HBM write,
         # the edge-pad copy, and the slab re-read (~1.2 ms at 4K/d=2) at no
         # additional precision cost on the turbo output.
-        out_shape=jax.ShapeDtypeStruct((nc * levels, hs, ws), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct(
+            (nc * levels, out_rows, out_cols), jnp.bfloat16
+        ),
         scratch_shapes=[
             pltpu.VMEM((4, th + 2 * rh, tw + 2 * lh), jnp.float32),
             pltpu.SemaphoreType.DMA(()),

@@ -567,17 +567,20 @@ class Session:
         configs (opt-in; ~49 dB vs the exact kernel at downsample=2, ~45 dB
         at 4 -- see ops/fast.py). Writes the same flag-encoded output name.
         levels=None resolves the per-d default: K=5 at downsample 2 and 4
-        for the bilateral family (measures IDENTICAL dB to K=6 on both
-        bench gate contents at every d -- tools/quality_ladders_r3.py --
-        and is measured faster on chip: +10-16% at d=4 in both round-4
-        full-bench captures, +11-13% at d=2 in the interleaved A/B of
-        tools/k_ab_d2_r4.py), K=6 everywhere else; the layers family keeps
-        K=6 at every d (its K=5 speed point is unmeasured on chip)."""
+        for BOTH families, K=6 everywhere else. Quality: K=5 measures
+        IDENTICAL dB to K=6 on both bench gate contents at every d for the
+        bilateral family (tools/quality_ladders_r3.py) and within 0.1-0.3 dB
+        for the layers family (tools/layers_k5_screen_r4.py). Speed,
+        measured on chip: bilateral +10-16% at d=4 (both round-4 full-bench
+        captures), +11-13% at d=2 (interleaved, tools/k_ab_d2_r4.py); layers
+        +7.2% at d=2 (sign-consistent interleaved median) and +18-51% at
+        d=4 (two interleaved rounds, both K=5) in the round-5
+        tools/layers_k_ab_r4.py run."""
         assert not cfg.nlm, "turbo NLM runs through run() with search_stride"
         from ..ops.fast import bilateral_fast
 
         if levels is None:
-            levels = 5 if (downsample in (2, 4) and not cfg.use_layers) else 6
+            levels = 5 if downsample in (2, 4) else 6
 
         if downsample >= 8 and self.bilateral_params.sigma_spatial < 5.0:
             # Measured crossover (tools/quality_ladders_r3.py): at 4K an

@@ -352,6 +352,39 @@ def test_turbo_cull_mask_variants_identical(rng, d):
 
 
 @pytest.mark.parametrize(
+    "hw,d,ua",
+    [((112, 384), 2, True), ((112, 384), 4, False), ((96, 256), 8, True),
+     ((256, 512), 2, False)],  # last: hs multiple of the build tile height
+)
+def test_turbo_pad_free_matches_legacy(rng, hw, d, ua):
+    """The pad-free grid layout (the build kernel emits the grid directly in
+    the slice kernel's padded slab layout, deleting the full-grid jnp.pad
+    copy -- ops/fast.py _build_grid_pallas extend_to) matches the legacy
+    build-then-pad pipeline to the STORED-GRID bf16 contract: the in-kernel
+    edge-dup fixups reproduce jnp.pad(mode='edge') exactly and overhang
+    cells only ever meet structurally-zero upsample weights for valid
+    pixels, but the one-cell input shift moves the blur band inside the dot
+    contraction, and the ~1-f32-ulp reduction-regrouping shift occasionally
+    lands on a bf16 rounding boundary -- the same contract as the fused
+    kernel and the sharded turbo tests (round-4 VERDICT #4 'd=2 glue')."""
+    import jax.numpy as jnp
+
+    from test_sharding import _assert_bf16_grid_close
+
+    from image_denoising_filter_tpu.ops import fast
+
+    h, w = hw
+    noisy = rng.uniform(0, 1, (h, w, 4)).astype(np.float32)
+    if ua:
+        noisy[..., 3] = 1.0
+    bp = BilateralParams(uniform_alpha=ua)
+    planar = jnp.transpose(jnp.asarray(noisy), (2, 0, 1))
+    a = np.asarray(fast._grid_pipeline_planar(planar, bp, 6, d, pad_free=False))
+    b = np.asarray(fast._grid_pipeline_planar(planar, bp, 6, d, pad_free=True))
+    _assert_bf16_grid_close(b, a)
+
+
+@pytest.mark.parametrize(
     "slice_t,build_t", [((256, 256), (128, 256)), ((128, 512), (64, 128))]
 )
 def test_turbo_tile_choice_invariant(rng, slice_t, build_t):

@@ -331,14 +331,18 @@ def test_multiframe_mixed_alpha_frames_exact(tmp_path):
 
 def test_run_turbo_default_levels_per_d(tmp_path):
     """levels=None resolves the per-d default: K=5 at downsample 2 and 4
-    for the bilateral family (measured identical dB to K=6 at every d and
-    +10-16% at d=4 / +11-13% at d=2 on chip in round 4), K=6 at other d
-    and for the layers family. Explicit levels= always wins."""
+    for BOTH families (bilateral: identical dB to K=6 at every d, +10-16%
+    at d=4 / +11-13% at d=2 on chip in round 4; layers: within 0.1-0.3 dB,
+    +7.2% at d=2 / +18-51% at d=4 interleaved in round 5 --
+    tools/layers_k_ab_r4.py), K=6 at other d. Explicit levels= always
+    wins."""
     rng = np.random.default_rng(7)
     img = rng.uniform(0, 1, (24, 32, 4)).astype(np.float32)
     img[..., 3] = 1.0
     target = str(tmp_path / "turbo_0000.png")
     imageio.save(target, img)
+    os.makedirs(tmp_path / "RenderElements", exist_ok=True)
+    imageio.save(str(tmp_path / "RenderElements" / "albedo_0000.png"), img)
 
     def fresh():
         return Session(target, bilateral_params=BP, layers_params=LP,
@@ -355,3 +359,10 @@ def test_run_turbo_default_levels_per_d(tmp_path):
     d8_default = fresh().run_turbo(cfg, downsample=8).image
     d8_k6 = fresh().run_turbo(cfg, levels=6, downsample=8).image
     np.testing.assert_array_equal(d8_default, d8_k6)
+
+    lcfg = RunConfig(use_layers=True)
+    l_default = fresh().run_turbo(lcfg, downsample=2).image
+    l_k5 = fresh().run_turbo(lcfg, levels=5, downsample=2).image
+    l_k6 = fresh().run_turbo(lcfg, levels=6, downsample=2).image
+    np.testing.assert_array_equal(l_default, l_k5)
+    assert np.any(l_default != l_k6)
