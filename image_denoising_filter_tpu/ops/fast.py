@@ -323,13 +323,17 @@ def _default_pad_free(d: int) -> bool:
     """Whether the two-kernel pipeline defaults to the PAD-FREE grid layout:
     the build kernel emits the grid directly in the slice kernel's padded
     slab layout (_build_grid_pallas extend_to), removing the full-grid
-    jnp.pad copy between them (~150 MB of HBM traffic at 4K/d=2, ~37 MB at
-    d=4 -- the single biggest remaining glue item of round-4 VERDICT #4).
-    Outputs match to the stored-grid bf16-ulp contract (tests/test_fast.py).
-    Costs: the build computes/writes the overhang cells too (~10-20%% more
-    build work at 4K). OFF until the round-5 chip A/B
-    (tools/padfree_ab_r5.py)."""
-    return False
+    jnp.pad copy between them (~150 MB of HBM traffic at 4K/d=2 -- the
+    single biggest remaining glue item of round-4 VERDICT #4). Outputs
+    match to the stored-grid bf16-ulp contract (tests/test_fast.py).
+
+    Round-5 chip A/B (tools/padfree_ab_r5.py, interleaved 3 rounds,
+    sign-consistent): d=2 WINS +4.1%% render / +4.9%% noise (2,573/2,501 vs
+    2,472/2,384 Mpix/s medians) -- the 74 MB grid's pad copy dominates the
+    overhang cost. d=4 LOSES 19%% (the slab alignment overhang is +20%% grid
+    cols => +25%% build blocks on a grid whose pad copy was only ~37 MB);
+    d=8 is a wash-to--4%%. Default ON at d=2 only."""
+    return d == 2
 
 
 def _default_cull_mask(d: int) -> bool:

@@ -202,8 +202,12 @@ def spatial_bilateral_fast(
 ) -> jnp.ndarray:
     """TURBO bilateral grid with H sharded over the mesh's 'y' axis.
 
-    Bit-identical to the single-device fused grid pipeline
-    (ops.fast._grid_pipeline_planar): pooling is shard-local (shard rows must
+    Matches the single-device grid pipeline
+    (ops.fast._grid_pipeline_planar) to the stored-grid bf16-ulp contract
+    (tests/test_sharding.py): same math cell for cell; shard tiling -- and,
+    since round 5, the single-device pad-free layout at d=2 -- shifts rows
+    inside the blur matmul contraction, whose ~1-f32-ulp regrouping can flip
+    a stored bf16 cell. Structure: pooling is shard-local (shard rows must
     divide by the downsample factor d), the pooled image is halo-exchanged by
     blur_radius+1 low-res rows so grid cells within one cell of the shard seam
     blur over *real* neighbor cells exactly as the unsharded build does, and
