@@ -13,15 +13,21 @@ by the gated approximate modes (the measured VPU ceiling caps any EXACT
 
 Deadline safety (round-4 VERDICT #1 -- BENCH_r04.json was rc=124/parsed=null
 because the driver's external timeout killed the process before the single
-final emit): this run is governed by a total wall-clock budget
-(BENCH_DEADLINE_S env, default 840 s). A daemon watchdog thread emits the
-current record and hard-exits at the deadline even if the main thread is
-wedged inside a C call; SIGTERM/SIGINT handlers do the same; phases are
-ordered value-first and skipped (with a note) when the remaining budget
-cannot fit them; the backend probe window scales with the remaining budget
-instead of a flat 13 minutes. The reference prints its timing in-band on
-every run unconditionally (src/main.cpp:1924-1933, 1095-1102) -- this is the
-analog that survives contact with a bounded driver.
+final emit): the process is a PARENT SUPERVISOR that never imports jax; the
+measurement runs in a child (BENCH_CHILD=1). The round-5 builder run
+observed a backend wedge that held the GIL for 40+ minutes -- which freezes
+in-process watchdog threads AND Python signal handlers -- so only a
+separate process can bound it: the parent proxies the child's checkpoint
+lines, SIGKILLs the child at the total wall-clock budget (BENCH_DEADLINE_S
+env, default 840 s) or on its own SIGTERM/SIGINT, re-prints the last
+COMPLETE JSON record (the tail can never be a half-flushed line), and
+always exits 0. The child keeps a graceful in-process watchdog + signal
+handlers (they win when the GIL is free), orders phases value-first,
+checkpoints after every measured setting, skips work that no longer fits
+the budget (with a note), and scales the backend probe window to the
+remaining budget. The reference prints its timing in-band on every run
+unconditionally (src/main.cpp:1924-1933, 1095-1102) -- this is the analog
+that survives contact with a bounded driver.
 
 Resilience (round-3/4): the tunneled axon backend wedges for long stretches
 (compile plane AND data plane -- see CLAUDE.md), so before any measurement
@@ -495,6 +501,7 @@ def _measure(rec: _Record, phases: _Phases) -> None:
                     repeats=reps,
                 )
                 rec.turbo[(content_name, d, K, sg)] = (mpix, fit)
+            rec.emit()  # per-setting checkpoint: rows survive a mid-phase kill
 
     phases.run("turbo_bilateral", phase_turbo_bilateral, est_s=240)
 
@@ -526,6 +533,7 @@ def _measure(rec: _Record, phases: _Phases) -> None:
                     ks=(1, 4, 10),
                 )
                 rec.nlm_turbo[(s_r, st, disk, hrw)] = (mpix, fit)
+                rec.emit()  # per-setting checkpoint
             except Exception as e:  # noqa: BLE001
                 last_err = e
                 rec.note(
@@ -580,6 +588,7 @@ def _measure(rec: _Record, phases: _Phases) -> None:
             )
             rec.gates[(d, K, sg)] = (db_small, db_4k)
             rec.gate_ok[(d, K, sg)] = min(db_small, db_4k) >= GATE_DB
+            rec.emit()  # per-setting checkpoint
 
     phases.run("gates_bilateral", phase_gates_bilateral, est_s=150)
 
@@ -627,6 +636,7 @@ def _measure(rec: _Record, phases: _Phases) -> None:
             rec.nlm_gate_ok[(s_r, st, disk, hrw)] = (
                 min(db_small, db_4k) >= GATE_DB
             )
+            rec.emit()  # per-setting checkpoint
         if last_err is not None and not rec.nlm_gates:
             raise last_err
 
@@ -829,6 +839,80 @@ def _measure(rec: _Record, phases: _Phases) -> None:
     phases.run("parity", phase_parity, est_s=60)
 
 
+def _supervisor_main() -> None:
+    """Run the measurement in a CHILD process and supervise it from a parent
+    that never imports jax. Round-5 lesson (builder run 1): a wedged backend
+    call can hold the GIL for 40+ minutes, which freezes BOTH the in-process
+    watchdog thread and the Python SIGTERM handler -- in-process armor
+    cannot bound a GIL-holding wedge. The parent can: it proxies the child's
+    checkpoint lines, kills the child (SIGKILL, exact pid) at the deadline
+    or on its own SIGTERM/SIGINT, re-prints the last COMPLETE JSON record so
+    the tail can never be a half-flushed line, and always exits 0."""
+    env = dict(os.environ, BENCH_CHILD="1")
+    # The child keeps its graceful in-process armor, aimed slightly earlier
+    # than the parent's hard kill so the graceful path wins when the GIL is
+    # free.
+    env["BENCH_DEADLINE_S"] = str(max(30.0, DEADLINE_S - 25.0))
+    proc = subprocess.Popen(
+        [sys.executable, "-u", os.path.abspath(__file__)],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=sys.stderr,
+        text=True,
+        bufsize=1,
+    )
+
+    def _kill(signum=None, frame=None):  # noqa: ARG001
+        try:
+            proc.kill()
+        except Exception:  # noqa: BLE001
+            pass
+
+    signal.signal(signal.SIGTERM, _kill)
+    signal.signal(signal.SIGINT, _kill)
+    timer = threading.Timer(max(10.0, DEADLINE_S - 10.0), _kill)
+    timer.daemon = True
+    timer.start()
+
+    last_json = None
+    try:
+        for line in proc.stdout:
+            line = line.rstrip("\n")
+            if line.startswith("{"):
+                try:
+                    json.loads(line)
+                    last_json = line
+                except ValueError:
+                    pass  # truncated flush: keep the previous checkpoint
+            print(line, flush=True)
+    except Exception:  # noqa: BLE001 -- reader must never lose the tail
+        _kill()
+    proc.wait()
+    timer.cancel()
+    if last_json is not None:
+        # Guarantee the tail line is a complete record even if the child was
+        # killed mid-flush.
+        print(last_json, flush=True)
+    else:
+        print(
+            json.dumps(
+                {
+                    "metric": "gated-turbo 4K throughput",
+                    "value": 0.0,
+                    "unit": "x-target",
+                    "vs_baseline": 0.0,
+                    "vs_baseline_turbo_modes": 0.0,
+                    "error": (
+                        "measurement child produced no record "
+                        f"(rc={proc.returncode})"
+                    ),
+                }
+            ),
+            flush=True,
+        )
+    sys.exit(0)
+
+
 def main() -> None:
     rec = _Record()
 
@@ -842,9 +926,9 @@ def main() -> None:
     signal.signal(signal.SIGINT, _emit_and_exit)
 
     def _watchdog():
-        # Emits the record and hard-exits at the deadline even when the main
-        # thread is wedged inside an uninterruptible backend call (the
-        # round-4 failure mode: external timeout, nothing printed).
+        # Emits the record and hard-exits at the deadline when the GIL is
+        # free; the GIL-holding-wedge case is bounded by the parent
+        # supervisor instead (_supervisor_main).
         while True:
             rem = _remaining()
             if rec.done:
@@ -859,6 +943,7 @@ def main() -> None:
             os._exit(0)
 
     threading.Thread(target=_watchdog, daemon=True).start()
+    rec.emit()  # initial checkpoint: even a pre-probe kill leaves a record
 
     phases = _Phases(rec)
     try:
@@ -886,4 +971,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD") == "1":
+        main()
+    else:
+        _supervisor_main()
