@@ -1,7 +1,11 @@
-"""bench.py resilience contract (round-3 VERDICT #1): the driver's record
-must survive a wedged backend. One JSON line is ALWAYS emitted -- with an
-"error" field instead of a traceback when the chip never comes up -- and a
-mid-run phase failure degrades the record instead of blanking it.
+"""bench.py resilience contract (round-3 VERDICT #1, round-4 VERDICT #1):
+the driver's record must survive a wedged backend AND an external timeout.
+The child (`main()`) prints a full JSON checkpoint line after every phase --
+the driver parses the TAIL line, so the last one wins -- with an "error"
+field instead of a traceback when the chip never comes up; a mid-run phase
+failure degrades the record instead of blanking it. The parent supervisor
+(`_supervisor_main`) bounds a GIL-holding child wedge with SIGKILL at the
+wall-clock deadline and re-prints the last complete record.
 
 bench.py is loaded by path (it lives at the repo root, not in the package)
 and never touches jax at import time, so these tests stay CPU-only and fast.
@@ -11,23 +15,27 @@ from __future__ import annotations
 
 import importlib.util
 import json
+import os
+import subprocess
 import sys
 from pathlib import Path
 
 import pytest
 
-_spec = importlib.util.spec_from_file_location(
-    "bench_under_test", Path(__file__).resolve().parent.parent / "bench.py"
-)
+_BENCH_PATH = Path(__file__).resolve().parent.parent / "bench.py"
+_spec = importlib.util.spec_from_file_location("bench_under_test", _BENCH_PATH)
 bench = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(bench)
 
 
 def _run_main_and_parse(capsys):
+    """Run the measurement child in-process; parse the TAIL checkpoint."""
     bench.main()
     lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
-    assert len(lines) == 1, f"bench must print exactly ONE line, got {lines}"
-    return json.loads(lines[0])
+    assert lines, "bench child must print at least the initial checkpoint"
+    for line in lines:  # every checkpoint must be independently parseable
+        json.loads(line)
+    return json.loads(lines[-1])
 
 
 def test_emits_error_json_when_backend_never_comes_up(capsys, monkeypatch):
@@ -45,7 +53,7 @@ def test_emits_error_json_when_backend_never_comes_up(capsys, monkeypatch):
 def test_emits_error_json_when_measurement_explodes(capsys, monkeypatch):
     monkeypatch.setattr(bench, "_probe_backend", lambda **kw: (True, 1, ""))
 
-    def boom(out):
+    def boom(rec, phases):
         raise RuntimeError("compile service wedged")
 
     monkeypatch.setattr(bench, "_measure", boom)
@@ -55,30 +63,36 @@ def test_emits_error_json_when_measurement_explodes(capsys, monkeypatch):
     assert out["degraded"] is True
 
 
-def test_phase_failure_degrades_but_continues_when_backend_alive(monkeypatch):
+def test_phase_failure_degrades_but_continues_when_backend_alive(
+    capsys, monkeypatch
+):
     monkeypatch.setattr(bench, "_probe_backend", lambda **kw: (True, 1, ""))
-    out = {}
-    phases = bench._Phases(out)
+    rec = bench._Record()
+    phases = bench._Phases(rec)
     ran = []
     assert not phases.run("p1", lambda: (_ for _ in ()).throw(ValueError("x")))
     assert phases.run("p2", lambda: ran.append("p2"))
     assert ran == ["p2"]
-    assert out["phase_errors"] == ["p1: ValueError: x"]
+    assert rec.out["phase_errors"] == ["p1: ValueError: x"]
     assert not phases.dead
+    # Each phase boundary emitted a parseable checkpoint line.
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 2
+    assert json.loads(lines[-1])["degraded"] is True
 
 
-def test_phase_failure_stops_launches_when_backend_dead(monkeypatch):
+def test_phase_failure_stops_launches_when_backend_dead(capsys, monkeypatch):
     monkeypatch.setattr(
         bench, "_probe_backend", lambda **kw: (False, 2, "down")
     )
-    out = {}
-    phases = bench._Phases(out)
+    rec = bench._Record()
+    phases = bench._Phases(rec)
     ran = []
     assert not phases.run("p1", lambda: (_ for _ in ()).throw(OSError("rpc")))
     assert phases.dead
     assert not phases.run("p2", lambda: ran.append("p2"))
     assert ran == []
-    assert out["phase_errors"] == [
+    assert rec.out["phase_errors"] == [
         "p1: OSError: rpc",
         "p2: skipped (backend down)",
     ]
@@ -112,3 +126,27 @@ def test_probe_backend_reaps_a_hung_probe(monkeypatch):
     )
     assert not ok
     assert "timeout" in err
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="signal semantics")
+def test_supervisor_bounds_child_and_tail_is_complete_json():
+    """Round-5 armor: the parent supervisor SIGKILLs the measurement child
+    at the wall-clock deadline, exits 0, and the TAIL stdout line is a
+    complete JSON record (the child's initial checkpoint at minimum) --
+    never a blank, never a half-flushed line. The child here is the real
+    bench.py measurement process; its initial checkpoint emits before any
+    jax import, so a 12 s budget exercises kill-while-measuring."""
+    env = dict(os.environ, BENCH_DEADLINE_S="12", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-u", str(_BENCH_PATH)],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        env=env,
+    )
+    assert r.returncode == 0
+    lines = [l for l in r.stdout.splitlines() if l.strip()]
+    assert lines, "supervisor must always leave a record"
+    out = json.loads(lines[-1])
+    assert out["unit"] == "x-target"
+    assert "vs_baseline" in out
