@@ -112,6 +112,13 @@ TURBO_SETTINGS = (
     (4, 6, None),
     (2, 6, None),
 )
+# The first three settings are the HEADLINE rows (the shipping defaults +
+# the d8s6 gated configuration): they measure AND gate before any
+# comparability row runs, so a driver budget that truncates the run still
+# carries vs_baseline_turbo_modes (round-5: the value-first ordering must
+# include the gates, not just the throughput rows).
+TURBO_HEADLINE = TURBO_SETTINGS[:3]
+TURBO_REST = TURBO_SETTINGS[3:]
 # Settings that also get a noise-content throughput row (headline rows only;
 # round-5 wall-clock trim -- K=6 rows measured identical noise ratios in the
 # round-4 captures).
@@ -128,6 +135,10 @@ NLM_TURBO_SETTINGS = (
     (7, 2, True, True),
     (7, 2, False, True),
 )
+# Headline NLM rows (measure + gate before any other row): s6disk carries
+# the geomean in every round-4/5 capture; disk is the quality-margin backup.
+NLM_HEADLINE = NLM_TURBO_SETTINGS[:2]
+NLM_REST = NLM_TURBO_SETTINGS[2:]
 # Guided-layers turbo downsamples (per-layer unit of the layers battery
 # config, /root/reference/src/main.cpp:1957). K=5 is the round-5 shipping
 # default for the layers family too (quality within 0.1-0.3 dB of K=6,
@@ -417,10 +428,12 @@ def _measure(rec: _Record, phases: _Phases) -> None:
         normalize_layers_fast,
     )
     from image_denoising_filter_tpu.ops import reference as ref
-    from image_denoising_filter_tpu.utils.content import synthetic_render
+    from image_denoising_filter_tpu.utils.content import synthetic_render_device
 
     if SMOKE:
         jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
 
     out = rec.out
     h, w = (256, 512) if SMOKE else (2160, 3840)  # 4K
@@ -428,23 +441,53 @@ def _measure(rec: _Record, phases: _Phases) -> None:
     rng = np.random.default_rng(0)
     # Representative frames: opaque alpha (every LDR render), which enables
     # the exact uniform-alpha fast path that Session auto-selects.
-    noise_h = rng.uniform(0, 1, (h, w, 4)).astype(np.float32)
-    noise_h[..., 3] = 1.0
-    noise2_h = rng.uniform(0, 1, (h, w, 4)).astype(np.float32)
-    noise2_h[..., 3] = 1.0
-    render_clean_h = synthetic_render(h, w, seed=1)
-    render_h = (
-        render_clean_h + rng.normal(0, 0.05, render_clean_h.shape)
-    ).astype(np.float32)
-    render_h[..., 3] = 1.0
-    render2_h = (
-        render_clean_h + rng.normal(0, 0.05, render_clean_h.shape)
-    ).astype(np.float32)
-    render2_h[..., 3] = 1.0
-    noise = jax.device_put(noise_h)
-    noise2 = jax.device_put(noise2_h)
-    render = jax.device_put(render_h)
-    render2 = jax.device_put(render2_h)
+    # Content is generated ON DEVICE: the tunneled host->device path runs at
+    # ~1 MB/s on bad sessions (round-5 run 1 spent ~900 s of its first phase
+    # on 4x132 MB frame uploads), so NO 4K frame crosses the tunnel -- the
+    # clean render scene is evaluated on device (synthetic_render_device,
+    # parameter-identical to the host generator), and the iid-uniform
+    # worst-case frames and the N(0, 0.05) render noise realizations come
+    # from the device PRNG. Same content classes as every capture before
+    # round 5; realizations differ (numbers are per-session anyway).
+    t0_content = time.monotonic()
+    render_clean = synthetic_render_device(h, w, seed=1)
+
+    @jax.jit
+    def _mk_uniform(key):
+        img = jax.random.uniform(key, (h, w, 4), jnp.float32)
+        return img.at[..., 3].set(1.0)
+
+    @jax.jit
+    def _mk_render(key):
+        img = render_clean + 0.05 * jax.random.normal(
+            key, (h, w, 4), jnp.float32
+        )
+        return img.at[..., 3].set(1.0)
+
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
+    noise = _mk_uniform(k1)
+    noise2 = _mk_uniform(k2)
+    render = _mk_render(k3)
+    render2 = _mk_render(k4)
+    for a in (noise, noise2, render, render2):
+        float(a[0, 0, 0])  # real fence (block_until_ready does not fence
+        # through the tunnel, CLAUDE.md)
+    with rec.lock:
+        out["content_s"] = round(time.monotonic() - t0_content, 1)
+
+    # Device-side PSNR for the 4K gate cells: a 4K frame readback through
+    # the tunnel costs minutes; a jitted MSE + scalar readback costs one
+    # fence. Matches ref.psnr (peak 1.0) on the RGB planes.
+    @jax.jit
+    def _mse_rgb(a, b):
+        d = a[..., :3].astype(jnp.float32) - b[..., :3].astype(jnp.float32)
+        return jnp.mean(d * d)
+
+    def psnr_dev(a, b) -> float:
+        mse = float(_mse_rgb(a, b))
+        if mse == 0.0:
+            return float("inf")
+        return -10.0 * math.log10(mse)
 
     bp = BilateralParams(uniform_alpha=True)  # radius 20 (reference GPU params)
     nlp = NlmParams(uniform_alpha=True)  # s=7 p=3 h=0.5
@@ -478,8 +521,12 @@ def _measure(rec: _Record, phases: _Phases) -> None:
     phases.run("exact_4k", phase_exact_4k, est_s=150)
 
     # --- 2. quality-gated turbo bilateral throughput (priority order) -------
-    def phase_turbo_bilateral():
-        for d, K, sg in TURBO_SETTINGS:
+    # Headline settings (the shipping defaults + d8s6) measure AND gate
+    # before the K=6 comparability rows run: a truncated capture still
+    # carries vs_baseline_turbo_modes (round-5 run 1 lost its gates to the
+    # deadline with the all-rows-first ordering).
+    def phase_turbo_bilateral(settings):
+        for d, K, sg in settings:
             if _remaining() < 90 + _Phases.RESERVE_S:
                 rec.note(f"turbo_bilateral[d{d}K{K}]: skipped (deadline)")
                 continue
@@ -503,15 +550,19 @@ def _measure(rec: _Record, phases: _Phases) -> None:
                 rec.turbo[(content_name, d, K, sg)] = (mpix, fit)
             rec.emit()  # per-setting checkpoint: rows survive a mid-phase kill
 
-    phases.run("turbo_bilateral", phase_turbo_bilateral, est_s=240)
+    phases.run(
+        "turbo_bilateral",
+        lambda: phase_turbo_bilateral(TURBO_HEADLINE),
+        est_s=150,
+    )
 
     # --- 3. turbo NLM (strided/disk search + bf16 taps), priority order -----
-    def phase_turbo_nlm():
+    def phase_turbo_nlm(settings):
         # Per-setting fencing: one setting's compile failure records its
         # error and lets sibling rows land; a dead backend fails the phase
         # via the re-raised last error.
         last_err = None
-        for s_r, st, disk, hrw in NLM_TURBO_SETTINGS:
+        for s_r, st, disk, hrw in settings:
             if _remaining() < 90 + _Phases.RESERVE_S:
                 rec.note(
                     f"turbo_nlm[{s_r},{st},{int(disk)},{int(hrw)}]: "
@@ -543,7 +594,7 @@ def _measure(rec: _Record, phases: _Phases) -> None:
         if last_err is not None and not rec.nlm_turbo:
             raise last_err
 
-    phases.run("turbo_nlm", phase_turbo_nlm, est_s=300)
+    phases.run("turbo_nlm", lambda: phase_turbo_nlm(NLM_HEADLINE), est_s=150)
 
     # --- quality gate content ------------------------------------------------
     # (a) 512x1024 structured sinusoids (the round-1/2 gate content);
@@ -565,40 +616,47 @@ def _measure(rec: _Record, phases: _Phases) -> None:
     nz2 = (clean_s + rng.normal(0, 0.05, clean_s.shape)).astype(np.float32)
     nz2[..., 3] = 1.0
 
-    # --- 4. bilateral gates (exact 4K outputs computed once per sigma) ------
-    def phase_gates_bilateral():
-        nz_d = jax.device_put(nz)
-        exact_small: dict = {}
-        exact_4k: dict = {}
-        for d, K, sg in TURBO_SETTINGS:
+    nz_d, nz2_d = jax.device_put(nz), jax.device_put(nz2)
+
+    # --- 4. bilateral gates (exact outputs cached per sigma, device PSNR:
+    # a 4K readback through the tunnel costs minutes; the MSE fence, ms) ----
+    exact_b_small: dict = {}
+    exact_b_4k: dict = {}
+
+    def phase_gates_bilateral(settings):
+        for d, K, sg in settings:
             if _remaining() < 60 + _Phases.RESERVE_S:
                 rec.note(f"gates_bilateral[d{d}K{K}]: skipped (deadline)")
                 continue
             bp_s = bparams(sg)
-            if sg not in exact_small:  # cache the exact outputs per sigma
-                exact_small[sg] = np.asarray(bilateral(nz_d, bp_s))[..., :3]
-                exact_4k[sg] = np.asarray(bilateral(render, bp_s))[..., :3]
-            db_small = ref.psnr(
-                np.asarray(bilateral_fast(nz_d, bp_s, K, d))[..., :3],
-                exact_small[sg],
+            if sg not in exact_b_small:  # cache the exact outputs per sigma
+                exact_b_small[sg] = bilateral(nz_d, bp_s)
+                exact_b_4k[sg] = bilateral(render, bp_s)
+            db_small = psnr_dev(
+                bilateral_fast(nz_d, bp_s, K, d), exact_b_small[sg]
             )
-            db_4k = ref.psnr(
-                np.asarray(bilateral_fast(render, bp_s, K, d))[..., :3],
-                exact_4k[sg],
+            db_4k = psnr_dev(
+                bilateral_fast(render, bp_s, K, d), exact_b_4k[sg]
             )
             rec.gates[(d, K, sg)] = (db_small, db_4k)
             rec.gate_ok[(d, K, sg)] = min(db_small, db_4k) >= GATE_DB
             rec.emit()  # per-setting checkpoint
 
-    phases.run("gates_bilateral", phase_gates_bilateral, est_s=150)
+    phases.run(
+        "gates_bilateral",
+        lambda: phase_gates_bilateral(TURBO_HEADLINE),
+        est_s=120,
+    )
 
-    # --- 5. NLM gates (exact 4K NLM computed once, reused for every row) ----
-    def phase_gates_nlm():
-        nz_d, nz2_d = jax.device_put(nz), jax.device_put(nz2)
-        exact_small = np.asarray(normalize(*nlm_accumulate(nz_d, nz2_d, nlp)))
-        exact_4k = np.asarray(normalize(*nlm_accumulate(render, render2, nlp)))
+    # --- 5. NLM gates (exact outputs computed once, reused for every row) ---
+    exact_n: dict = {}
+
+    def phase_gates_nlm(settings):
+        if "small" not in exact_n:
+            exact_n["small"] = normalize(*nlm_accumulate(nz_d, nz2_d, nlp))
+            exact_n["4k"] = normalize(*nlm_accumulate(render, render2, nlp))
         last_err = None
-        for s_r, st, disk, hrw in NLM_TURBO_SETTINGS:
+        for s_r, st, disk, hrw in settings:
             if _remaining() < 60 + _Phases.RESERVE_S:
                 rec.note(
                     f"gates_nlm[{s_r},{st},{int(disk)},{int(hrw)}]: "
@@ -613,17 +671,13 @@ def _measure(rec: _Record, phases: _Phases) -> None:
                 weights_halfres=hrw,
             )
             try:
-                db_small = ref.psnr(
-                    np.asarray(
-                        normalize(*nlm_accumulate(nz_d, nz2_d, nlp_g, bf16))
-                    )[..., :3],
-                    exact_small[..., :3],
+                db_small = psnr_dev(
+                    normalize(*nlm_accumulate(nz_d, nz2_d, nlp_g, bf16)),
+                    exact_n["small"],
                 )
-                db_4k = ref.psnr(
-                    np.asarray(
-                        normalize(*nlm_accumulate(render, render2, nlp_g, bf16))
-                    )[..., :3],
-                    exact_4k[..., :3],
+                db_4k = psnr_dev(
+                    normalize(*nlm_accumulate(render, render2, nlp_g, bf16)),
+                    exact_n["4k"],
                 )
             except Exception as e:  # noqa: BLE001
                 last_err = e
@@ -640,9 +694,28 @@ def _measure(rec: _Record, phases: _Phases) -> None:
         if last_err is not None and not rec.nlm_gates:
             raise last_err
 
-    phases.run("gates_nlm", phase_gates_nlm, est_s=200)
+    phases.run(
+        "gates_nlm", lambda: phase_gates_nlm(NLM_HEADLINE), est_s=150
+    )
 
-    # --- 6. exact-family oracle checks (correctness guard for the headline) -
+    # --- 6. comparability rows + their gates (after the headline geomean
+    # is fully carried) ------------------------------------------------------
+    phases.run(
+        "turbo_bilateral_rest",
+        lambda: phase_turbo_bilateral(TURBO_REST),
+        est_s=90,
+    )
+    phases.run("turbo_nlm_rest", lambda: phase_turbo_nlm(NLM_REST), est_s=150)
+    phases.run(
+        "gates_bilateral_rest",
+        lambda: phase_gates_bilateral(TURBO_REST),
+        est_s=60,
+    )
+    phases.run(
+        "gates_nlm_rest", lambda: phase_gates_nlm(NLM_REST), est_s=100
+    )
+
+    # --- 7. exact-family oracle checks (correctness guard for the headline) -
     def phase_exact_checks_oracle():
         # 96x128 vs the NumPy oracles (catches Mosaic math regressions).
         small = np.asarray(rng.uniform(0, 1, (96, 128, 4)), np.float32)
@@ -677,13 +750,18 @@ def _measure(rec: _Record, phases: _Phases) -> None:
 
     phases.run("exact_checks_oracle", phase_exact_checks_oracle, est_s=90)
 
-    # --- 7. turbo guided layers (render content; per-layer battery unit) ----
-    layer_clean_h = synthetic_render(h, w, seed=2)  # G-buffer-like guide
-    layer_clean_h[..., 3] = 1.0
+    # --- 8. turbo guided layers (render content; per-layer battery unit) ----
     lp = LayersParams()
+    _l_dev: dict = {}  # generate the 4K guide ONCE across the two phases
+
+    def _layer_guide():
+        if "g" not in _l_dev:
+            # G-buffer-like guide, evaluated on device (no tunnel traffic).
+            _l_dev["g"] = synthetic_render_device(h, w, seed=2)
+        return _l_dev["g"]
 
     def phase_turbo_layers():
-        l_dev = jax.device_put(layer_clean_h)
+        l_dev = _layer_guide()
         for d in LAYERS_TURBO_DS:
             if _remaining() < 90 + _Phases.RESERVE_S:
                 rec.note(f"turbo_layers[d{d}]: skipped (deadline)")
@@ -697,38 +775,34 @@ def _measure(rec: _Record, phases: _Phases) -> None:
 
     phases.run("turbo_layers", phase_turbo_layers, est_s=150)
 
-    # --- 8. layers gates ------------------------------------------------------
+    # --- 9. layers gates ------------------------------------------------------
     def phase_gates_layers():
         # Sinusoid gate: guide = clean sinusoids, target = noisy realization.
-        nz_d = jax.device_put(nz)
         guide_s = jax.device_put(clean_s)
-        exact_small = np.asarray(
-            normalize(*cross_bilateral_layers(nz_d, guide_s, lp))
-        )[..., :3]
+        exact_small = normalize(*cross_bilateral_layers(nz_d, guide_s, lp))
         # 4K gate: the layers battery unit on render content (clean guide).
-        l_dev = jax.device_put(layer_clean_h)
-        exact_4k = np.asarray(
-            normalize(*cross_bilateral_layers(render, l_dev, lp))
-        )[..., :3]
+        l_dev = _layer_guide()
+        exact_4k = normalize(*cross_bilateral_layers(render, l_dev, lp))
         for d in LAYERS_TURBO_DS:
-            got_small = np.asarray(
-                normalize_layers_fast(
-                    *cross_bilateral_layers_fast(nz_d, guide_s, lp, LAYERS_LEVELS, d)
+            got_small = normalize_layers_fast(
+                *cross_bilateral_layers_fast(
+                    nz_d, guide_s, lp, LAYERS_LEVELS, d
                 )
-            )[..., :3]
-            got_4k = np.asarray(
-                normalize_layers_fast(
-                    *cross_bilateral_layers_fast(render, l_dev, lp, LAYERS_LEVELS, d)
+            )
+            got_4k = normalize_layers_fast(
+                *cross_bilateral_layers_fast(
+                    render, l_dev, lp, LAYERS_LEVELS, d
                 )
-            )[..., :3]
-            db_small = ref.psnr(got_small, exact_small)
-            db_4k = ref.psnr(got_4k, exact_4k)
+            )
+            db_small = psnr_dev(got_small, exact_small)
+            db_4k = psnr_dev(got_4k, exact_4k)
             rec.layers_gates[d] = (db_small, db_4k)
             rec.layers_gate_ok[d] = min(db_small, db_4k) >= GATE_DB
+            rec.emit()  # per-setting checkpoint
 
     phases.run("gates_layers", phase_gates_layers, est_s=150)
 
-    # --- 9. temporal serving: 5-frame multiframe NLM fps at 1080p -----------
+    # --- 10. temporal serving: 5-frame multiframe NLM fps at 1080p -----------
     # The reference's flagship config is the temporal overlap loop
     # (src/main.cpp:1539-1624); this row is its device-resident rate: one
     # frame-batched accumulate over 5 neighbour frames + normalize per
@@ -737,18 +811,19 @@ def _measure(rec: _Record, phases: _Phases) -> None:
     def phase_temporal():
         hh, ww = (128, 256) if SMOKE else (1080, 1920)
         f_n = 2 if SMOKE else 5
-        tgt = jax.device_put(np.ascontiguousarray(render_h[:hh, :ww]))
-        frames_h = np.stack(
-            [
-                (
-                    render_clean_h[:hh, :ww]
-                    + rng.normal(0, 0.05, (hh, ww, 4))
-                ).astype(np.float32)
-                for _ in range(f_n)
-            ]
-        )
-        frames_h[..., 3] = 1.0
-        frames = jax.device_put(frames_h)
+        # Device crops + device noise: the 1080p target and the 5 neighbour
+        # frames are derived from the already-resident clean scene instead
+        # of shipping ~200 MB through the tunnel.
+        tgt = jnp.asarray(render[:hh, :ww])
+
+        @jax.jit
+        def _mk_frames(key):
+            fr = render_clean[None, :hh, :ww] + 0.05 * jax.random.normal(
+                key, (f_n, hh, ww, 4), jnp.float32
+            )
+            return fr.at[..., 3].set(1.0)
+
+        frames = _mk_frames(jax.random.PRNGKey(5))
         fit = chiptime.slope_time(
             lambda t: normalize(*nlm_accumulate_frames(t, frames, nlp)),
             tgt,
@@ -773,11 +848,11 @@ def _measure(rec: _Record, phases: _Phases) -> None:
 
     phases.run("temporal_fps", phase_temporal, est_s=120)
 
-    # --- 10. exact kernels at 1080p (BASELINE.md names 1080p explicitly) ----
+    # --- 11. exact kernels at 1080p (BASELINE.md names 1080p explicitly) ----
     def phase_exact_1080p():
         hh, ww = (128, 256) if SMOKE else (1080, 1920)
-        na = jax.device_put(np.ascontiguousarray(noise_h[:hh, :ww]))
-        nb = jax.device_put(np.ascontiguousarray(noise2_h[:hh, :ww]))
+        na = jnp.asarray(noise[:hh, :ww])   # device crops: no tunnel traffic
+        nb = jnp.asarray(noise2[:hh, :ww])
         fit_b = chiptime.slope_time(lambda x: bilateral(x, bp), na, ks=(1, 4, 8))
         put_fit("bilateral_1080p", fit_b.mpix_s(hh * ww), fit_b)
         fit_n = chiptime.slope_time(
@@ -787,30 +862,28 @@ def _measure(rec: _Record, phases: _Phases) -> None:
 
     phases.run("exact_1080p", phase_exact_1080p, est_s=100)
 
-    # --- 11. exact checks at 1080p scale (Pallas vs XLA lowerings) ----------
+    # --- 12. exact checks at 1080p scale (Pallas vs XLA lowerings) ----------
     def phase_exact_checks_1080p():
         # Pallas vs the XLA variants at a 1080p-scale shape (same exact math
         # through an independent lowering) so a tile/halo/clamp bug at real
         # shapes fails the record. The 96x128 oracle checks cannot see
         # 4K-scale tiling bugs.
         hh, ww = (128, 256) if SMOKE else (1080, 1920)
-        ra = jax.device_put(np.ascontiguousarray(render_h[:hh, :ww]))
-        rb = jax.device_put(np.ascontiguousarray(render2_h[:hh, :ww]))
+        ra = jnp.asarray(render[:hh, :ww])  # device crops: no tunnel traffic
+        rb = jnp.asarray(render2[:hh, :ww])
         checks = {}
-        checks["bilateral_1080p"] = ref.psnr(
-            np.asarray(bilateral(ra, bp)), np.asarray(bilateral_xla(ra, bp))
+        checks["bilateral_1080p"] = psnr_dev(
+            bilateral(ra, bp), bilateral_xla(ra, bp)
         )
         wc_k, nw_k = nlm_accumulate(ra, rb, nlp)
         wc_x, nw_x = nlm_xla(ra, rb, nlp)
-        checks["nlm_1080p"] = ref.psnr(
-            np.asarray(normalize(wc_k, nw_k)),
-            np.asarray(normalize(wc_x, nw_x)),
+        checks["nlm_1080p"] = psnr_dev(
+            normalize(wc_k, nw_k), normalize(wc_x, nw_x)
         )
         lwc_k, lnw_k = cross_bilateral_layers(ra, rb, lp)
         lwc_x, lnw_x = cross_bilateral_layers_xla(ra, rb, lp)
-        checks["layers_1080p"] = ref.psnr(
-            np.asarray(normalize(lwc_k, lnw_k)),
-            np.asarray(normalize(lwc_x, lnw_x)),
+        checks["layers_1080p"] = psnr_dev(
+            normalize(lwc_k, lnw_k), normalize(lwc_x, lnw_x)
         )
         for name, db in checks.items():
             if not (db >= 80.0):
@@ -818,7 +891,7 @@ def _measure(rec: _Record, phases: _Phases) -> None:
 
     phases.run("exact_checks_1080p", phase_exact_checks_1080p, est_s=150)
 
-    # --- 12. PSNR parity vs the CPU bilateral reference ----------------------
+    # --- 13. PSNR parity vs the CPU bilateral reference ----------------------
     def phase_parity():
         # Our kernel in CPU-reference-params mode vs the CPU oracle (interior
         # only -- the CPU path zeroes a radius-wide border, main.cpp:1823-28).
