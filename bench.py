@@ -53,7 +53,12 @@ kernels at BOTH the 512x1024 sinusoid content and the SHIPPING 4K tile
 configuration on render content, through the same Pallas paths the
 throughput rows run. Exact 4K outputs are computed ONCE and reused across
 gate phases (round-4 VERDICT weak #2). Gate-failing rows publish raw
-throughput with gate_ok=false and are excluded from the geomean.
+throughput with gate_ok=false and are excluded from the geomean. Each
+headline row measures AND gates as one unit before the next row starts
+(round-5 run 2a lesson: a rows-then-gates ordering lost the NLM gate to
+the deadline, zeroing the geomean despite green bilateral gates), so
+vs_baseline_turbo_modes is nonzero as soon as the first bilateral unit and
+the first NLM unit complete.
 
 New round-5 rows: `turbo_d8s6_*` -- the d=8 grid gated at sigma_spatial=6
 (at the reference's sigma_s=2 the d=8 pool must over-blur; the measured
@@ -113,11 +118,11 @@ TURBO_SETTINGS = (
     (2, 6, None),
 )
 # The first three settings are the HEADLINE rows (the shipping defaults +
-# the d8s6 gated configuration): they measure AND gate before any
-# comparability row runs, so a driver budget that truncates the run still
-# carries vs_baseline_turbo_modes (round-5: the value-first ordering must
-# include the gates, not just the throughput rows).
-TURBO_HEADLINE = TURBO_SETTINGS[:3]
+# the d8s6 gated configuration): each measures AND gates as one unit before
+# the next starts (the explicit headline_* phases in _measure), so a driver
+# budget that truncates the run still carries vs_baseline_turbo_modes
+# (round-5 run 2a: rows-then-gates ordering lost the NLM gate to the
+# deadline and the geomean read 0.0 despite three green bilateral gates).
 TURBO_REST = TURBO_SETTINGS[3:]
 # Settings that also get a noise-content throughput row (headline rows only;
 # round-5 wall-clock trim -- K=6 rows measured identical noise ratios in the
@@ -135,9 +140,9 @@ NLM_TURBO_SETTINGS = (
     (7, 2, True, True),
     (7, 2, False, True),
 )
-# Headline NLM rows (measure + gate before any other row): s6disk carries
-# the geomean in every round-4/5 capture; disk is the quality-margin backup.
-NLM_HEADLINE = NLM_TURBO_SETTINGS[:2]
+# The first two NLM rows are headline units (measure + gate before any
+# other row runs): s6disk carries the geomean in every round-4/5 capture;
+# disk is the quality-margin backup.
 NLM_REST = NLM_TURBO_SETTINGS[2:]
 # Guided-layers turbo downsamples (per-layer unit of the layers battery
 # config, /root/reference/src/main.cpp:1957). K=5 is the round-5 shipping
@@ -507,99 +512,13 @@ def _measure(rec: _Record, phases: _Phases) -> None:
             out[f"{key}_mpix_s"] = round(float(mpix), 1)
             out[f"{key}_spread"] = round(float(fit.spread), 3)
 
-    # --- 1. exact kernels at 4K (content-independent cost; noise content) ---
-    def phase_exact_4k():
-        fit_b = chiptime.slope_time(
-            lambda x: bilateral(x, bp), noise, ks=(1, 2, 4)
-        )
-        put_fit("bilateral_4k", fit_b.mpix_s(n_px), fit_b)
-        fit_n = chiptime.slope_time(
-            lambda nb: nlm_accumulate(noise, nb, nlp)[0], noise2, ks=(1, 2, 4)
-        )
-        put_fit("nlm_4k", fit_n.mpix_s(n_px), fit_n)
-
-    phases.run("exact_4k", phase_exact_4k, est_s=150)
-
-    # --- 2. quality-gated turbo bilateral throughput (priority order) -------
-    # Headline settings (the shipping defaults + d8s6) measure AND gate
-    # before the K=6 comparability rows run: a truncated capture still
-    # carries vs_baseline_turbo_modes (round-5 run 1 lost its gates to the
-    # deadline with the all-rows-first ordering).
-    def phase_turbo_bilateral(settings):
-        for d, K, sg in settings:
-            if _remaining() < 90 + _Phases.RESERVE_S:
-                rec.note(f"turbo_bilateral[d{d}K{K}]: skipped (deadline)")
-                continue
-            bp_s = bparams(sg)
-            # Chain length scales with speed: the sub-1 ms d=8 pipeline
-            # needs k up to 64 to pull its slope off the method's
-            # resolution floor (k is a dynamic arg: no extra compiles).
-            ks = (1, 16, 64) if d >= 8 else (1, 8, 32) if d > 2 else (1, 4, 16)
-            contents = [("render", render)]
-            if (d, K, sg) in TURBO_NOISE:
-                contents.append(("noise", noise))
-            reps = 5 if (d, K, sg) in TURBO_NOISE else 3
-            for content_name, img in contents:
-                mpix, fit = chiptime.measure_mpix(
-                    lambda x, K=K, d=d, b=bp_s: bilateral_fast(x, b, K, d),
-                    img,
-                    n_pixels=n_px,
-                    ks=ks,
-                    repeats=reps,
-                )
-                rec.turbo[(content_name, d, K, sg)] = (mpix, fit)
-            rec.emit()  # per-setting checkpoint: rows survive a mid-phase kill
-
-    phases.run(
-        "turbo_bilateral",
-        lambda: phase_turbo_bilateral(TURBO_HEADLINE),
-        est_s=150,
-    )
-
-    # --- 3. turbo NLM (strided/disk search + bf16 taps), priority order -----
-    def phase_turbo_nlm(settings):
-        # Per-setting fencing: one setting's compile failure records its
-        # error and lets sibling rows land; a dead backend fails the phase
-        # via the re-raised last error.
-        last_err = None
-        for s_r, st, disk, hrw in settings:
-            if _remaining() < 90 + _Phases.RESERVE_S:
-                rec.note(
-                    f"turbo_nlm[{s_r},{st},{int(disk)},{int(hrw)}]: "
-                    "skipped (deadline)"
-                )
-                continue
-            nlp_t = NlmParams(
-                uniform_alpha=True,
-                search_radius=s_r,
-                search_stride=st,
-                search_disk=disk,
-                weights_halfres=hrw,
-            )
-            try:
-                mpix, fit = chiptime.measure_mpix(
-                    lambda nb, p=nlp_t: nlm_accumulate(noise, nb, p, bf16)[0],
-                    noise2,
-                    n_pixels=n_px,
-                    ks=(1, 4, 10),
-                )
-                rec.nlm_turbo[(s_r, st, disk, hrw)] = (mpix, fit)
-                rec.emit()  # per-setting checkpoint
-            except Exception as e:  # noqa: BLE001
-                last_err = e
-                rec.note(
-                    f"turbo_nlm[{s_r},{st},{int(disk)},{int(hrw)}]: "
-                    f"{type(e).__name__}: {e}"
-                )
-        if last_err is not None and not rec.nlm_turbo:
-            raise last_err
-
-    phases.run("turbo_nlm", lambda: phase_turbo_nlm(NLM_HEADLINE), est_s=150)
-
     # --- quality gate content ------------------------------------------------
     # (a) 512x1024 structured sinusoids (the round-1/2 gate content);
     # (b) the SHIPPING 4K tile configuration on render content, so a
     #     tile-clamp bug at 4K zeroes the contribution.
+    # The clean sinusoid plane crosses the tunnel ONCE (~8 MB); the noisy
+    # realizations are derived on device (the tunnel runs ~1 MB/s on bad
+    # sessions -- round-5 run 1 spent ~900 s uploading 4K frames).
     gh_, gw_ = (128, 256) if SMOKE else (512, 1024)
     yy, xx = np.mgrid[0:gh_, 0:gw_].astype(np.float32)
     clean_s = np.stack(
@@ -611,111 +530,182 @@ def _measure(rec: _Record, phases: _Phases) -> None:
         ],
         axis=-1,
     ).astype(np.float32)
-    nz = (clean_s + rng.normal(0, 0.05, clean_s.shape)).astype(np.float32)
-    nz[..., 3] = 1.0
-    nz2 = (clean_s + rng.normal(0, 0.05, clean_s.shape)).astype(np.float32)
-    nz2[..., 3] = 1.0
+    clean_s_dev = jax.device_put(clean_s)
 
-    nz_d, nz2_d = jax.device_put(nz), jax.device_put(nz2)
+    @jax.jit
+    def _mk_gate_noisy(key):
+        img = clean_s_dev + 0.05 * jax.random.normal(
+            key, clean_s_dev.shape, jnp.float32
+        )
+        return img.at[..., 3].set(1.0)
 
-    # --- 4. bilateral gates (exact outputs cached per sigma, device PSNR:
-    # a 4K readback through the tunnel costs minutes; the MSE fence, ms) ----
+    g1_, g2_ = jax.random.split(jax.random.PRNGKey(7))
+    nz_d, nz2_d = _mk_gate_noisy(g1_), _mk_gate_noisy(g2_)
+
+    # --- headline units: throughput + gate per setting, value-first ---------
+    # vs_baseline_turbo_modes needs ONE gated bilateral row and ONE gated
+    # NLM row. Round-5 builder run 2a lost its NLM gate to the deadline
+    # under the rows-then-gates ordering (164 s left, gate phase estimated
+    # 150 s) and the geomean read 0.0 despite three green bilateral gates.
+    # Each unit below lands a row AND its gate before the next unit starts:
+    # the geomean is nonzero once the first two units complete and only
+    # improves after. Order: d4k5 (shipping default) -> s6disk NLM (fastest
+    # gated NLM row) -> d8s6 (fastest gated bilateral) -> d2k5 (the
+    # >=2,400 Mpix/s render target row) -> disk NLM (quality-margin backup).
     exact_b_small: dict = {}
     exact_b_4k: dict = {}
-
-    def phase_gates_bilateral(settings):
-        for d, K, sg in settings:
-            if _remaining() < 60 + _Phases.RESERVE_S:
-                rec.note(f"gates_bilateral[d{d}K{K}]: skipped (deadline)")
-                continue
-            bp_s = bparams(sg)
-            if sg not in exact_b_small:  # cache the exact outputs per sigma
-                exact_b_small[sg] = bilateral(nz_d, bp_s)
-                exact_b_4k[sg] = bilateral(render, bp_s)
-            db_small = psnr_dev(
-                bilateral_fast(nz_d, bp_s, K, d), exact_b_small[sg]
-            )
-            db_4k = psnr_dev(
-                bilateral_fast(render, bp_s, K, d), exact_b_4k[sg]
-            )
-            rec.gates[(d, K, sg)] = (db_small, db_4k)
-            rec.gate_ok[(d, K, sg)] = min(db_small, db_4k) >= GATE_DB
-            rec.emit()  # per-setting checkpoint
-
-    phases.run(
-        "gates_bilateral",
-        lambda: phase_gates_bilateral(TURBO_HEADLINE),
-        est_s=120,
-    )
-
-    # --- 5. NLM gates (exact outputs computed once, reused for every row) ---
     exact_n: dict = {}
 
-    def phase_gates_nlm(settings):
-        if "small" not in exact_n:
+    def gate_bilateral_one(d, K, sg) -> None:
+        bp_s = bparams(sg)
+        if sg not in exact_b_small:  # cache the exact outputs per sigma
+            exact_b_small[sg] = bilateral(nz_d, bp_s)
+            exact_b_4k[sg] = bilateral(render, bp_s)
+        db_small = psnr_dev(
+            bilateral_fast(nz_d, bp_s, K, d), exact_b_small[sg]
+        )
+        db_4k = psnr_dev(bilateral_fast(render, bp_s, K, d), exact_b_4k[sg])
+        rec.gates[(d, K, sg)] = (db_small, db_4k)
+        rec.gate_ok[(d, K, sg)] = min(db_small, db_4k) >= GATE_DB
+        rec.emit()  # per-setting checkpoint
+
+    def measure_bilateral_one(d, K, sg, content="render", reps=5) -> None:
+        bp_s = bparams(sg)
+        # Chain length scales with speed: the sub-1 ms d=8 pipeline needs
+        # k up to 64 to pull its slope off the method's resolution floor
+        # (k is a dynamic arg: no extra compiles).
+        ks = (1, 16, 64) if d >= 8 else (1, 8, 32) if d > 2 else (1, 4, 16)
+        img = render if content == "render" else noise
+        mpix, fit = chiptime.measure_mpix(
+            lambda x: bilateral_fast(x, bp_s, K, d),
+            img,
+            n_pixels=n_px,
+            ks=ks,
+            repeats=reps,
+        )
+        rec.turbo[(content, d, K, sg)] = (mpix, fit)
+        rec.emit()  # per-setting checkpoint
+
+    def unit_bilateral(d, K, sg) -> None:
+        measure_bilateral_one(d, K, sg)
+        gate_bilateral_one(d, K, sg)
+
+    def _nlm_params(key) -> NlmParams:
+        s_r, st, disk, hrw = key
+        return NlmParams(
+            uniform_alpha=True,
+            search_radius=s_r,
+            search_stride=st,
+            search_disk=disk,
+            weights_halfres=hrw,
+        )
+
+    def gate_nlm_one(key) -> None:
+        if "small" not in exact_n:  # exact outputs shared by every NLM gate
             exact_n["small"] = normalize(*nlm_accumulate(nz_d, nz2_d, nlp))
             exact_n["4k"] = normalize(*nlm_accumulate(render, render2, nlp))
-        last_err = None
-        for s_r, st, disk, hrw in settings:
+        nlp_g = _nlm_params(key)
+        db_small = psnr_dev(
+            normalize(*nlm_accumulate(nz_d, nz2_d, nlp_g, bf16)),
+            exact_n["small"],
+        )
+        db_4k = psnr_dev(
+            normalize(*nlm_accumulate(render, render2, nlp_g, bf16)),
+            exact_n["4k"],
+        )
+        rec.nlm_gates[key] = (db_small, db_4k)
+        rec.nlm_gate_ok[key] = min(db_small, db_4k) >= GATE_DB
+        rec.emit()  # per-setting checkpoint
+
+    def unit_nlm(key) -> None:
+        nlp_t = _nlm_params(key)
+        mpix, fit = chiptime.measure_mpix(
+            lambda nb: nlm_accumulate(noise, nb, nlp_t, bf16)[0],
+            noise2,
+            n_pixels=n_px,
+            ks=(1, 4, 10),
+        )
+        rec.nlm_turbo[key] = (mpix, fit)
+        rec.emit()  # per-setting checkpoint
+        gate_nlm_one(key)
+
+    phases.run("headline_d4k5", lambda: unit_bilateral(4, 5, None), est_s=90)
+    phases.run(
+        "headline_nlm_s6disk",
+        lambda: unit_nlm((6, 2, True, False)),
+        est_s=90,
+    )
+    phases.run("headline_d8s6", lambda: unit_bilateral(8, 6, 6.0), est_s=60)
+    phases.run("headline_d2k5", lambda: unit_bilateral(2, 5, None), est_s=60)
+    phases.run(
+        "headline_nlm_disk", lambda: unit_nlm((7, 2, True, False)), est_s=60
+    )
+
+    # --- exact kernels at 4K (value/vs_baseline; content-independent cost) --
+    def phase_exact_4k():
+        fit_b = chiptime.slope_time(
+            lambda x: bilateral(x, bp), noise, ks=(1, 2, 4)
+        )
+        put_fit("bilateral_4k", fit_b.mpix_s(n_px), fit_b)
+        fit_n = chiptime.slope_time(
+            lambda nb: nlm_accumulate(noise, nb, nlp)[0], noise2, ks=(1, 2, 4)
+        )
+        put_fit("nlm_4k", fit_n.mpix_s(n_px), fit_n)
+
+    phases.run("exact_4k", phase_exact_4k, est_s=120)
+
+    # --- noise-content rows for the headline settings (iid uniform: the
+    # data-independent worst case; no tile can cull) --------------------------
+    def phase_turbo_noise():
+        for d, K, sg in TURBO_SETTINGS:
+            if (d, K, sg) not in TURBO_NOISE:
+                continue
+            if _remaining() < 45 + _Phases.RESERVE_S:
+                rec.note(f"turbo_noise[d{d}K{K}]: skipped (deadline)")
+                continue
+            measure_bilateral_one(d, K, sg, content="noise")
+
+    phases.run("turbo_noise", phase_turbo_noise, est_s=90)
+
+    # --- comparability rows (K=6), each with its gate -------------------------
+    def phase_rest_bilateral():
+        for d, K, sg in TURBO_REST:
             if _remaining() < 60 + _Phases.RESERVE_S:
+                rec.note(f"turbo_bilateral[d{d}K{K}]: skipped (deadline)")
+                continue
+            measure_bilateral_one(d, K, sg, reps=3)
+            gate_bilateral_one(d, K, sg)
+
+    phases.run("turbo_bilateral_rest", phase_rest_bilateral, est_s=150)
+
+    def phase_rest_nlm():
+        # Per-setting fencing: one setting's compile failure records its
+        # error and lets sibling rows land; a dead backend fails the phase
+        # via the re-raised last error.
+        last_err = None
+        for key in NLM_REST:
+            if _remaining() < 60 + _Phases.RESERVE_S:
+                s_r, st, disk, hrw = key
                 rec.note(
-                    f"gates_nlm[{s_r},{st},{int(disk)},{int(hrw)}]: "
+                    f"turbo_nlm[{s_r},{st},{int(disk)},{int(hrw)}]: "
                     "skipped (deadline)"
                 )
                 continue
-            nlp_g = NlmParams(
-                uniform_alpha=True,
-                search_radius=s_r,
-                search_stride=st,
-                search_disk=disk,
-                weights_halfres=hrw,
-            )
             try:
-                db_small = psnr_dev(
-                    normalize(*nlm_accumulate(nz_d, nz2_d, nlp_g, bf16)),
-                    exact_n["small"],
-                )
-                db_4k = psnr_dev(
-                    normalize(*nlm_accumulate(render, render2, nlp_g, bf16)),
-                    exact_n["4k"],
-                )
+                unit_nlm(key)
             except Exception as e:  # noqa: BLE001
                 last_err = e
+                s_r, st, disk, hrw = key
                 rec.note(
-                    f"gates_nlm[{s_r},{st},{int(disk)},{int(hrw)}]: "
+                    f"turbo_nlm[{s_r},{st},{int(disk)},{int(hrw)}]: "
                     f"{type(e).__name__}: {e}"
                 )
-                continue
-            rec.nlm_gates[(s_r, st, disk, hrw)] = (db_small, db_4k)
-            rec.nlm_gate_ok[(s_r, st, disk, hrw)] = (
-                min(db_small, db_4k) >= GATE_DB
-            )
-            rec.emit()  # per-setting checkpoint
-        if last_err is not None and not rec.nlm_gates:
+        if last_err is not None and not rec.nlm_turbo:
             raise last_err
 
-    phases.run(
-        "gates_nlm", lambda: phase_gates_nlm(NLM_HEADLINE), est_s=150
-    )
+    phases.run("turbo_nlm_rest", phase_rest_nlm, est_s=150)
 
-    # --- 6. comparability rows + their gates (after the headline geomean
-    # is fully carried) ------------------------------------------------------
-    phases.run(
-        "turbo_bilateral_rest",
-        lambda: phase_turbo_bilateral(TURBO_REST),
-        est_s=90,
-    )
-    phases.run("turbo_nlm_rest", lambda: phase_turbo_nlm(NLM_REST), est_s=150)
-    phases.run(
-        "gates_bilateral_rest",
-        lambda: phase_gates_bilateral(TURBO_REST),
-        est_s=60,
-    )
-    phases.run(
-        "gates_nlm_rest", lambda: phase_gates_nlm(NLM_REST), est_s=100
-    )
-
-    # --- 7. exact-family oracle checks (correctness guard for the headline) -
+    # --- exact-family oracle checks (correctness guard for the headline) ----
     def phase_exact_checks_oracle():
         # 96x128 vs the NumPy oracles (catches Mosaic math regressions).
         small = np.asarray(rng.uniform(0, 1, (96, 128, 4)), np.float32)
@@ -750,7 +740,7 @@ def _measure(rec: _Record, phases: _Phases) -> None:
 
     phases.run("exact_checks_oracle", phase_exact_checks_oracle, est_s=90)
 
-    # --- 8. turbo guided layers (render content; per-layer battery unit) ----
+    # --- turbo guided layers (render content; per-layer battery unit) -------
     lp = LayersParams()
     _l_dev: dict = {}  # generate the 4K guide ONCE across the two phases
 
@@ -775,10 +765,10 @@ def _measure(rec: _Record, phases: _Phases) -> None:
 
     phases.run("turbo_layers", phase_turbo_layers, est_s=150)
 
-    # --- 9. layers gates ------------------------------------------------------
+    # --- layers gates ---------------------------------------------------------
     def phase_gates_layers():
         # Sinusoid gate: guide = clean sinusoids, target = noisy realization.
-        guide_s = jax.device_put(clean_s)
+        guide_s = clean_s_dev  # already resident (gate content upload)
         exact_small = normalize(*cross_bilateral_layers(nz_d, guide_s, lp))
         # 4K gate: the layers battery unit on render content (clean guide).
         l_dev = _layer_guide()
@@ -802,7 +792,7 @@ def _measure(rec: _Record, phases: _Phases) -> None:
 
     phases.run("gates_layers", phase_gates_layers, est_s=150)
 
-    # --- 10. temporal serving: 5-frame multiframe NLM fps at 1080p -----------
+    # --- temporal serving: 5-frame multiframe NLM fps at 1080p ---------------
     # The reference's flagship config is the temporal overlap loop
     # (src/main.cpp:1539-1624); this row is its device-resident rate: one
     # frame-batched accumulate over 5 neighbour frames + normalize per
@@ -848,7 +838,7 @@ def _measure(rec: _Record, phases: _Phases) -> None:
 
     phases.run("temporal_fps", phase_temporal, est_s=120)
 
-    # --- 11. exact kernels at 1080p (BASELINE.md names 1080p explicitly) ----
+    # --- exact kernels at 1080p (BASELINE.md names 1080p explicitly) --------
     def phase_exact_1080p():
         hh, ww = (128, 256) if SMOKE else (1080, 1920)
         na = jnp.asarray(noise[:hh, :ww])   # device crops: no tunnel traffic
@@ -862,7 +852,7 @@ def _measure(rec: _Record, phases: _Phases) -> None:
 
     phases.run("exact_1080p", phase_exact_1080p, est_s=100)
 
-    # --- 12. exact checks at 1080p scale (Pallas vs XLA lowerings) ----------
+    # --- exact checks at 1080p scale (Pallas vs XLA lowerings) --------------
     def phase_exact_checks_1080p():
         # Pallas vs the XLA variants at a 1080p-scale shape (same exact math
         # through an independent lowering) so a tile/halo/clamp bug at real
@@ -891,7 +881,7 @@ def _measure(rec: _Record, phases: _Phases) -> None:
 
     phases.run("exact_checks_1080p", phase_exact_checks_1080p, est_s=150)
 
-    # --- 13. PSNR parity vs the CPU bilateral reference ----------------------
+    # --- PSNR parity vs the CPU bilateral reference --------------------------
     def phase_parity():
         # Our kernel in CPU-reference-params mode vs the CPU oracle (interior
         # only -- the CPU path zeroes a radius-wide border, main.cpp:1823-28).
