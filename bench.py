@@ -60,10 +60,20 @@ the deadline, zeroing the geomean despite green bilateral gates), so
 vs_baseline_turbo_modes is nonzero as soon as the first bilateral unit and
 the first NLM unit complete. Within a unit only the 4K cell gates (the
 TIGHTER cell in every round-4/5 capture); the sinusoid cells run in a
-follow-up phase (gates_small) that can DOWNGRADE gate_ok and re-emit --
-round-5 run 3 lost its NLM gate to per-program executable loads (~30 MB
-each through a ~1 MB/s tunnel on slow sessions), and the small cells were
-~7 of the loads on the critical path.
+follow-up phase (gates_small) that can DOWNGRADE gate_ok and re-emit.
+
+Program economy: on slow sessions the dominant cost is neither FLOPs nor
+compiles (persistent-cached) but the per-process EXECUTABLE LOAD of every
+distinct program through the ~1 MB/s tunnel (round-5 run 3: 278 s for
+three content programs; one NLM chain program 290 s; the NLM gate it lost
+to the deadline) -- so the critical path to the first nonzero geomean is
+budgeted in PROGRAMS: one fused content program (clean scene + all four 4K
+realizations in one jit), then per headline unit ONE chain program (its
+k=0 output is the un-chained turbo result the 4K gate needs -- chiptime
+with_output) plus the exact-reference program. Frames are chain ARGUMENTS
+rather than closures, so the noise-content rows re-time the render row's
+program (slope_from_program: zero loads) and the NLM/layers gates reuse
+the measured program on the gate content.
 
 New round-5 rows: `turbo_d8s6_*` -- the d=8 grid gated at sigma_spatial=6
 (at the reference's sigma_s=2 the d=8 pool must over-blur; the measured
@@ -318,8 +328,11 @@ class _Record:
                 out[f"{tag}_mpix_s"] = round(mpix_r, 1)
                 out[f"{tag}_spread"] = round(float(fit_r.spread), 3)
             if d in layers_gates:
-                out[f"{tag}_db_vs_exact"] = round(layers_gates[d][0], 1)
-                out[f"{tag}_db_vs_exact_4k"] = round(layers_gates[d][1], 1)
+                db_s, db_4 = layers_gates[d]
+                if db_s is not None:  # small cell rides a follow-up phase
+                    out[f"{tag}_db_vs_exact"] = round(db_s, 1)
+                if db_4 is not None:
+                    out[f"{tag}_db_vs_exact_4k"] = round(db_4, 1)
                 out[f"{tag}_gate_ok"] = bool(layers_gate_ok.get(d, False))
             if f"{tag}_mpix_s" in out and not layers_gate_ok.get(d, False):
                 # Gate-failing (or unmeasured) layers rows zero their
@@ -452,7 +465,10 @@ def _measure(rec: _Record, phases: _Phases) -> None:
         normalize_layers_fast,
     )
     from image_denoising_filter_tpu.ops import reference as ref
-    from image_denoising_filter_tpu.utils.content import synthetic_render_device
+    from image_denoising_filter_tpu.utils.content import (
+        synthetic_render_device,
+        synthetic_render_expr,
+    )
 
     if SMOKE:
         jax.config.update("jax_platforms", "cpu")
@@ -474,26 +490,28 @@ def _measure(rec: _Record, phases: _Phases) -> None:
     # from the device PRNG. Same content classes as every capture before
     # round 5; realizations differ (numbers are per-session anyway).
     t0_content = time.monotonic()
-    render_clean = synthetic_render_device(h, w, seed=1)
+    _scene = synthetic_render_expr(h, w, seed=1)
 
     @jax.jit
-    def _mk_uniform(key):
-        img = jax.random.uniform(key, (h, w, 4), jnp.float32)
-        return img.at[..., 3].set(1.0)
+    def _mk_all(key):
+        # ONE program for the clean scene + all four 4K realizations: each
+        # distinct program costs an executable load through the ~1 MB/s
+        # tunnel on slow sessions (round-5 run 3 spent 278 s on THREE
+        # content programs), so the whole content phase is a single load.
+        clean = _scene()
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        mk_u = lambda kk: jax.random.uniform(  # noqa: E731
+            kk, (h, w, 4), jnp.float32
+        ).at[..., 3].set(1.0)
+        mk_r = lambda kk: (  # noqa: E731
+            clean + 0.05 * jax.random.normal(kk, (h, w, 4), jnp.float32)
+        ).at[..., 3].set(1.0)
+        return clean, mk_u(k1), mk_u(k2), mk_r(k3), mk_r(k4)
 
-    @jax.jit
-    def _mk_render(key):
-        img = render_clean + 0.05 * jax.random.normal(
-            key, (h, w, 4), jnp.float32
-        )
-        return img.at[..., 3].set(1.0)
-
-    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
-    noise = _mk_uniform(k1)
-    noise2 = _mk_uniform(k2)
-    render = _mk_render(k3)
-    render2 = _mk_render(k4)
-    for a in (noise, noise2, render, render2):
+    render_clean, noise, noise2, render, render2 = _mk_all(
+        jax.random.PRNGKey(0)
+    )
+    for a in (render_clean, noise, noise2, render, render2):
         float(a[0, 0, 0])  # real fence (block_until_ready does not fence
         # through the tunnel, CLAUDE.md)
     with rec.lock:
@@ -592,6 +610,12 @@ def _measure(rec: _Record, phases: _Phases) -> None:
     exact_b_small: dict = {}
     exact_b_4k: dict = {}
     exact_n: dict = {}
+    # (family, setting) -> (chain program, ks): the compiled K-chain program
+    # of every measured row, kept so (a) the 4K gate cell reuses it at k=0
+    # (its second output is exactly one un-chained application -- no second
+    # executable load) and (b) the noise-content rows re-time the SAME
+    # program on the noise frame (slope_from_program: no load at all).
+    chain_prog: dict = {}
 
     def _pair_ok(pair) -> bool:
         db_s, db_4 = pair
@@ -601,15 +625,25 @@ def _measure(rec: _Record, phases: _Phases) -> None:
             and (db_s is None or db_s >= GATE_DB)
         )
 
+    def _bilateral_ks(d: int):
+        # Chain length scales with speed: the sub-1 ms d=8 pipeline needs
+        # k up to 64 to pull its slope off the method's resolution floor
+        # (k is a dynamic arg: no extra compiles).
+        return (1, 16, 64) if d >= 8 else (1, 8, 32) if d > 2 else (1, 4, 16)
+
     def gate_bilateral_one(d, K, sg, cells=("4k",)) -> None:
         bp_s = bparams(sg)
         db_s, db_4 = rec.gates.get((d, K, sg), (None, None))
         if "4k" in cells:
             if sg not in exact_b_4k:  # cache the exact output per sigma
                 exact_b_4k[sg] = bilateral(render, bp_s)
-            db_4 = psnr_dev(
-                bilateral_fast(render, bp_s, K, d), exact_b_4k[sg]
+            prog = chain_prog.get(("b", d, K, sg))
+            got = (
+                prog[0](0, render)[1]  # the measured program, un-chained
+                if prog is not None
+                else bilateral_fast(render, bp_s, K, d)
             )
+            db_4 = psnr_dev(got, exact_b_4k[sg])
         if "small" in cells:
             _, nz_d, _ = gate_small_content()
             if sg not in exact_b_small:
@@ -621,25 +655,30 @@ def _measure(rec: _Record, phases: _Phases) -> None:
         rec.gate_ok[(d, K, sg)] = _pair_ok((db_s, db_4))
         rec.emit()  # per-setting checkpoint
 
-    def measure_bilateral_one(d, K, sg, content="render", reps=5) -> None:
+    def measure_bilateral_render(d, K, sg, reps=5) -> None:
         bp_s = bparams(sg)
-        # Chain length scales with speed: the sub-1 ms d=8 pipeline needs
-        # k up to 64 to pull its slope off the method's resolution floor
-        # (k is a dynamic arg: no extra compiles).
-        ks = (1, 16, 64) if d >= 8 else (1, 8, 32) if d > 2 else (1, 4, 16)
-        img = render if content == "render" else noise
-        mpix, fit = chiptime.measure_mpix(
+        ks = _bilateral_ks(d)
+        fit, run = chiptime.slope_time(
             lambda x: bilateral_fast(x, bp_s, K, d),
-            img,
-            n_pixels=n_px,
+            render,
             ks=ks,
             repeats=reps,
+            with_output=True,
         )
-        rec.turbo[(content, d, K, sg)] = (mpix, fit)
+        chain_prog[("b", d, K, sg)] = (run, ks)
+        rec.turbo[("render", d, K, sg)] = (fit.mpix_s(n_px), fit)
         rec.emit()  # per-setting checkpoint
 
-    def unit_bilateral(d, K, sg) -> None:
-        measure_bilateral_one(d, K, sg)
+    def measure_bilateral_noise(d, K, sg) -> None:
+        # Re-time the render row's compiled chain program on the noise
+        # frame: zero compiles, zero executable loads.
+        run, ks = chain_prog[("b", d, K, sg)]
+        fit = chiptime.slope_from_program(run, noise, ks=ks, repeats=5)
+        rec.turbo[("noise", d, K, sg)] = (fit.mpix_s(n_px), fit)
+        rec.emit()  # per-setting checkpoint
+
+    def unit_bilateral(d, K, sg, reps=5) -> None:
+        measure_bilateral_render(d, K, sg, reps=reps)
         gate_bilateral_one(d, K, sg)
 
     def _nlm_params(key) -> NlmParams:
@@ -660,10 +699,13 @@ def _measure(rec: _Record, phases: _Phases) -> None:
                 exact_n["4k"] = normalize(
                     *nlm_accumulate(render, render2, nlp)
                 )
-            db_4 = psnr_dev(
-                normalize(*nlm_accumulate(render, render2, nlp_g, bf16)),
-                exact_n["4k"],
+            prog = chain_prog.get(("n", key))
+            pair = (
+                prog[0](0, render2, render)[1]  # measured program, un-chained
+                if prog is not None
+                else nlm_accumulate(render, render2, nlp_g, bf16)
             )
+            db_4 = psnr_dev(normalize(*pair), exact_n["4k"])
         if "small" in cells:
             _, nz_d, nz2_d = gate_small_content()
             if "small" not in exact_n:
@@ -680,13 +722,21 @@ def _measure(rec: _Record, phases: _Phases) -> None:
 
     def unit_nlm(key, cells=("4k",)) -> None:
         nlp_t = _nlm_params(key)
-        mpix, fit = chiptime.measure_mpix(
-            lambda nb: nlm_accumulate(noise, nb, nlp_t, bf16)[0],
+        # The target frame is a chain ARGUMENT (not a closure), so the same
+        # program serves the noise-content measurement and -- via k=0 on
+        # (render2, render) -- the 4K gate cell. fn returns the (wc, nw)
+        # pair; the chain's data dependence rides wc, and the pallas kernel
+        # computes both outputs regardless, so the measured slope is the
+        # same accumulate cost as prior rounds.
+        fit, run = chiptime.slope_time(
+            lambda nb, tgt: nlm_accumulate(tgt, nb, nlp_t, bf16),
             noise2,
-            n_pixels=n_px,
+            noise,
             ks=(1, 4, 10),
+            with_output=True,
         )
-        rec.nlm_turbo[key] = (mpix, fit)
+        chain_prog[("n", key)] = (run, (1, 4, 10))
+        rec.nlm_turbo[key] = (fit.mpix_s(n_px), fit)
         rec.emit()  # per-setting checkpoint
         gate_nlm_one(key, cells=cells)
 
@@ -739,10 +789,13 @@ def _measure(rec: _Record, phases: _Phases) -> None:
         for d, K, sg in TURBO_SETTINGS:
             if (d, K, sg) not in TURBO_NOISE:
                 continue
+            if ("b", d, K, sg) not in chain_prog:
+                rec.note(f"turbo_noise[d{d}K{K}]: skipped (no render unit)")
+                continue
             if _remaining() < 45 + _Phases.RESERVE_S:
                 rec.note(f"turbo_noise[d{d}K{K}]: skipped (deadline)")
                 continue
-            measure_bilateral_one(d, K, sg, content="noise")
+            measure_bilateral_noise(d, K, sg)
 
     phases.run("turbo_noise", phase_turbo_noise, est_s=90)
 
@@ -752,7 +805,7 @@ def _measure(rec: _Record, phases: _Phases) -> None:
             if _remaining() < 60 + _Phases.RESERVE_S:
                 rec.note(f"turbo_bilateral[d{d}K{K}]: skipped (deadline)")
                 continue
-            measure_bilateral_one(d, K, sg, reps=3)
+            measure_bilateral_render(d, K, sg, reps=3)
             gate_bilateral_one(d, K, sg, cells=("4k", "small"))
 
     phases.run("turbo_bilateral_rest", phase_rest_bilateral, est_s=150)
@@ -829,47 +882,65 @@ def _measure(rec: _Record, phases: _Phases) -> None:
             _l_dev["g"] = synthetic_render_device(h, w, seed=2)
         return _l_dev["g"]
 
-    def phase_turbo_layers():
+    exact_l: dict = {}
+
+    def unit_layers(d) -> None:
+        # Measure + 4K gate as one unit from ONE chain program: the guide is
+        # a chain ARGUMENT, so run(0, render, guide)[1] is exactly the
+        # un-chained turbo output for the gate cell (no second load).
         l_dev = _layer_guide()
+        fn = lambda t, g: normalize_layers_fast(  # noqa: E731
+            *cross_bilateral_layers_fast(t, g, lp, LAYERS_LEVELS, d)
+        )
+        ks = (1, 4, 16) if d <= 2 else (1, 8, 32)
+        fit, run = chiptime.slope_time(
+            fn, render, l_dev, ks=ks, with_output=True
+        )
+        chain_prog[("l", d)] = (run, ks)
+        rec.layers_turbo[("render", d)] = (fit.mpix_s(n_px), fit)
+        rec.emit()  # per-setting checkpoint
+        if "4k" not in exact_l:
+            # 4K gate reference: the layers battery unit on render content
+            # (clean guide), computed once across both d values.
+            exact_l["4k"] = normalize(
+                *cross_bilateral_layers(render, l_dev, lp)
+            )
+        db_4k = psnr_dev(run(0, render, l_dev)[1], exact_l["4k"])
+        db_s, _ = rec.layers_gates.get(d, (None, None))
+        rec.layers_gates[d] = (db_s, db_4k)
+        rec.layers_gate_ok[d] = _pair_ok((db_s, db_4k))
+        rec.emit()  # per-setting checkpoint
+
+    def phase_turbo_layers():
         for d in LAYERS_TURBO_DS:
             if _remaining() < 90 + _Phases.RESERVE_S:
                 rec.note(f"turbo_layers[d{d}]: skipped (deadline)")
                 continue
-            fn = lambda t, d=d: normalize_layers_fast(  # noqa: E731
-                *cross_bilateral_layers_fast(t, l_dev, lp, LAYERS_LEVELS, d)
-            )
-            ks = (1, 4, 16) if d <= 2 else (1, 8, 32)
-            mpix, fit = chiptime.measure_mpix(fn, render, n_pixels=n_px, ks=ks)
-            rec.layers_turbo[("render", d)] = (mpix, fit)
+            unit_layers(d)
 
     phases.run("turbo_layers", phase_turbo_layers, est_s=150)
 
-    # --- layers gates ---------------------------------------------------------
-    def phase_gates_layers():
+    # --- layers small-content gate cells --------------------------------------
+    def phase_gates_layers_small():
         # Sinusoid gate: guide = clean sinusoids, target = noisy realization.
+        # Can DOWNGRADE gate_ok of a unit that already passed its 4K cell.
         guide_s, nz_d, _ = gate_small_content()
         exact_small = normalize(*cross_bilateral_layers(nz_d, guide_s, lp))
-        # 4K gate: the layers battery unit on render content (clean guide).
-        l_dev = _layer_guide()
-        exact_4k = normalize(*cross_bilateral_layers(render, l_dev, lp))
         for d in LAYERS_TURBO_DS:
+            if d not in rec.layers_gates:
+                continue  # the unit never ran; nothing to complete
             got_small = normalize_layers_fast(
                 *cross_bilateral_layers_fast(
                     nz_d, guide_s, lp, LAYERS_LEVELS, d
                 )
             )
-            got_4k = normalize_layers_fast(
-                *cross_bilateral_layers_fast(
-                    render, l_dev, lp, LAYERS_LEVELS, d
-                )
-            )
             db_small = psnr_dev(got_small, exact_small)
-            db_4k = psnr_dev(got_4k, exact_4k)
+            _, db_4k = rec.layers_gates[d]
             rec.layers_gates[d] = (db_small, db_4k)
-            rec.layers_gate_ok[d] = min(db_small, db_4k) >= GATE_DB
+            rec.layers_gate_ok[d] = _pair_ok((db_small, db_4k))
             rec.emit()  # per-setting checkpoint
 
-    phases.run("gates_layers", phase_gates_layers, est_s=150)
+    phases.run("gates_layers_small", phase_gates_layers_small, est_s=120)
 
     # --- temporal serving: 5-frame multiframe NLM fps at 1080p ---------------
     # The reference's flagship config is the temporal overlap loop

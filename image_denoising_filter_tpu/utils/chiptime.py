@@ -40,7 +40,9 @@ class SlopeFit:
         return n_pixels / self.slope / 1e6
 
 
-def _chain_program(fn: Callable, x0, extra, refeed: bool) -> Callable:
+def _chain_program(
+    fn: Callable, x0, extra, refeed: bool, with_output: bool = False
+) -> Callable:
     """One jitted program applying fn k times, sequential by construction.
 
     refeed=True re-feeds the ORIGINAL content every application (one corner
@@ -48,7 +50,22 @@ def _chain_program(fn: Callable, x0, extra, refeed: bool) -> Callable:
     the rest of the buffer untouched). Required for content-dependent
     kernels (per-tile level culling!): chaining outputs would measure
     progressively smoother frames and overstate throughput. refeed=False
-    chains outputs directly (data-independent kernels, matched shapes)."""
+    chains outputs directly (data-independent kernels, matched shapes).
+
+    fn may return any pytree (e.g. an (accumulated, weights) pair); the data
+    dependence rides the first leaf.
+
+    with_output=True: after the loop, fn is applied ONE more time to the
+    carry and the program returns (fence_scalar, final_output). The extra
+    application is a per-run constant, so it lands in the fitted INTERCEPT
+    and leaves the slope untouched -- and `run(0, x, *extra)[1]` is exactly
+    fn(x, *extra), letting quality gates reuse the MEASURED program instead
+    of loading a second unchained executable through the tunnel (round-5
+    bench lesson: each distinct 4K program costs up to hundreds of seconds
+    of executable load on slow sessions)."""
+
+    def _first_leaf(out):
+        return jax.tree_util.tree_leaves(out)[0]
 
     @jax.jit
     def run(k, x, *e):
@@ -57,7 +74,7 @@ def _chain_program(fn: Callable, x0, extra, refeed: bool) -> Callable:
             corner = jax.lax.dynamic_slice(x, idx, (1,) * x.ndim)
 
             def body(i, carry):
-                out = fn(carry, *e)
+                out = _first_leaf(fn(carry, *e))
                 poke = corner + (jnp.sum(out.ravel()[:1]) * 1e-30).astype(
                     x.dtype
                 )
@@ -66,15 +83,18 @@ def _chain_program(fn: Callable, x0, extra, refeed: bool) -> Callable:
         else:
 
             def body(i, v):
-                out = fn(v, *e)
+                out = _first_leaf(fn(v, *e))
                 if out.shape == x.shape and out.dtype == x.dtype:
                     return out
                 # Keep the carry type closed but data-dependent on `out` so
                 # the loop cannot be folded or reordered.
                 return v + (jnp.sum(out.ravel()[:1]) * 1e-30).astype(x.dtype)
 
-        out = jax.lax.fori_loop(0, k, body, x)
-        return jnp.sum(out.ravel()[:1])
+        carry = jax.lax.fori_loop(0, k, body, x)
+        if with_output:
+            final = fn(carry, *e)
+            return jnp.sum(_first_leaf(final).ravel()[:1]), final
+        return jnp.sum(carry.ravel()[:1])
 
     return run
 
@@ -98,6 +118,50 @@ def _fit(samples: dict) -> SlopeFit:
     )
 
 
+def _sample_program(
+    run: Callable,
+    x0,
+    extra,
+    ks: Sequence[int],
+    repeats: int,
+    auto_extend: bool,
+    spread_target: float,
+    fenced: bool,
+) -> SlopeFit:
+    """Warm + sample an existing chain program and fit the slope. `fenced`
+    says whether run returns a bare scalar or a (scalar, output) pair."""
+
+    def fence(k):
+        r = run(k, x0, *extra)
+        float(r[0] if fenced else r)
+
+    # Compile once (k dynamic) and warm the path. float() fences for real
+    # through the tunnel (block_until_ready does not).
+    fence(max(ks))
+
+    samples: dict[int, list[float]] = {k: [] for k in ks}
+    for _ in range(repeats):
+        for k in ks:  # interleave so drift spreads evenly across k values
+            t0 = time.perf_counter()
+            fence(k)
+            samples[k].append(time.perf_counter() - t0)
+
+    fit = _fit(samples)
+    if auto_extend and fit.spread > spread_target:
+        k_ext = 2 * max(ks)
+        fence(k_ext)  # warm the longer chain's first fence
+        samples.setdefault(k_ext, [])
+        for _ in range(repeats):
+            for k in (*ks, k_ext):
+                t0 = time.perf_counter()
+                fence(k)
+                samples[k].append(time.perf_counter() - t0)
+        refit = _fit(samples)
+        if refit.spread < fit.spread:
+            fit = refit
+    return fit
+
+
 def slope_time(
     fn: Callable,
     x0,
@@ -107,7 +171,8 @@ def slope_time(
     refeed: bool = True,
     auto_extend: bool = True,
     spread_target: float = 0.05,
-) -> SlopeFit:
+    with_output: bool = False,
+):
     """Fit per-application device time for `fn` by the K-chain slope method.
 
     fn(x, *extra) must be jit-traceable; x0 is both the seed carry and the
@@ -124,34 +189,40 @@ def slope_time(
     longest -- longer chains pull the slope out of the jitter -- and the
     better-spread fit wins. k is dynamic, so the longer chain costs no
     compile, only its own run time.
+
+    with_output=True: returns (fit, run) where run(k, x, *extra) is the
+    compiled chain program returning (fence_scalar, fn_output) -- so
+    run(0, x, *extra)[1] == fn(x, *extra) exactly, reusing the measured
+    executable for quality gates, and `slope_from_program` can re-time the
+    SAME program on different argument data (e.g. a noise-content row)
+    without another executable load. Otherwise returns the fit alone.
     """
-    run = _chain_program(fn, x0, extra, refeed)
-
-    # Compile once (k dynamic) and warm the path. float() fences for real
-    # through the tunnel (block_until_ready does not).
-    float(run(max(ks), x0, *extra))
-
-    samples: dict[int, list[float]] = {k: [] for k in ks}
-    for _ in range(repeats):
-        for k in ks:  # interleave so drift spreads evenly across k values
-            t0 = time.perf_counter()
-            float(run(k, x0, *extra))
-            samples[k].append(time.perf_counter() - t0)
-
-    fit = _fit(samples)
-    if auto_extend and fit.spread > spread_target:
-        k_ext = 2 * max(ks)
-        float(run(k_ext, x0, *extra))  # warm the longer chain's first fence
-        samples.setdefault(k_ext, [])
-        for _ in range(repeats):
-            for k in (*ks, k_ext):
-                t0 = time.perf_counter()
-                float(run(k, x0, *extra))
-                samples[k].append(time.perf_counter() - t0)
-        refit = _fit(samples)
-        if refit.spread < fit.spread:
-            fit = refit
+    run = _chain_program(fn, x0, extra, refeed, with_output)
+    fit = _sample_program(
+        run, x0, extra, ks, repeats, auto_extend, spread_target, with_output
+    )
+    if with_output:
+        return fit, run
     return fit
+
+
+def slope_from_program(
+    run: Callable,
+    x0,
+    *extra,
+    ks: Sequence[int] = (1, 8, 32),
+    repeats: int = 5,
+    auto_extend: bool = True,
+    spread_target: float = 0.05,
+) -> SlopeFit:
+    """Re-time an existing chain program (from slope_time(with_output=True))
+    on new argument data. The program is shape-specialized, so x0/extra must
+    match the original avals; no compile and no executable load happen --
+    this is how bench.py measures noise-content rows for free after the
+    render-content unit already paid the program load."""
+    return _sample_program(
+        run, x0, extra, ks, repeats, auto_extend, spread_target, True
+    )
 
 
 def measure_mpix(

@@ -80,20 +80,17 @@ def synthetic_render(h: int, w: int, seed: int = 0) -> np.ndarray:
     return np.concatenate([rgb, alpha], axis=-1)
 
 
-def synthetic_render_device(h: int, w: int, seed: int = 0):
-    """Device-evaluated twin of `synthetic_render`: the scene parameters are
-    drawn on the host (tiny, same numpy RNG stream in the same order), the
-    fields are evaluated with jnp in ONE jitted elementwise program, and the
-    frame never crosses the host<->device tunnel. Matches the numpy version
-    to float32 rounding (tests/test_content.py).
-
-    Motivation (round-5 bench runs): the tunneled host->device path moves
-    ~1 MB/s on slow sessions, so a single 4K RGBA frame upload costs minutes
-    -- more than every headline measurement phase combined. Device-side
-    content generation removes the transfer entirely; the one-time remote
-    compile of the generator program is persistent-cached.
+def synthetic_render_expr(h: int, w: int, seed: int = 0):
+    """Traceable twin of `synthetic_render`: the scene parameters are drawn
+    on the host (tiny, same numpy RNG stream in the same order) and a
+    zero-arg thunk evaluating the fields with jnp is returned. Call the
+    thunk inside any jit -- standalone (`synthetic_render_device`) or FUSED
+    into a larger content program (bench.py generates the clean scene and
+    every noise realization in ONE program: each distinct program costs an
+    executable load through the ~1 MB/s tunnel on slow sessions, so program
+    count on the critical path matters more than FLOPs). Matches the numpy
+    version to float32 rounding (tests/test_content.py).
     """
-    import jax
     import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
@@ -114,7 +111,6 @@ def synthetic_render_device(h: int, w: int, seed: int = 0):
             geom = ("disk", float(cy), float(cx), r)
         surfs.append((albedo, gdir, gmag, geom))
 
-    @jax.jit
     def build():
         yy = jnp.broadcast_to(
             jnp.arange(h, dtype=jnp.float32)[:, None], (h, w)
@@ -165,4 +161,15 @@ def synthetic_render_device(h: int, w: int, seed: int = 0):
         alpha = jnp.ones((h, w, 1), jnp.float32)
         return jnp.concatenate([rgb, alpha], axis=-1)
 
-    return build()
+    return build
+
+
+def synthetic_render_device(h: int, w: int, seed: int = 0):
+    """Device-evaluated `synthetic_render`: one jitted elementwise program;
+    the frame never crosses the host<->device tunnel (round-5 bench lesson:
+    the tunneled host->device path moves ~1 MB/s on slow sessions, so a
+    single 4K RGBA frame upload costs minutes). The remote compile of the
+    generator program is persistent-cached."""
+    import jax
+
+    return jax.jit(synthetic_render_expr(h, w, seed))()
