@@ -70,7 +70,11 @@ to the deadline) -- so the critical path to the first nonzero geomean is
 budgeted in PROGRAMS: one fused content program (clean scene + all four 4K
 realizations in one jit), then per headline unit ONE chain program (its
 k=0 output is the un-chained turbo result the 4K gate needs -- chiptime
-with_output) plus the exact-reference program. Frames are chain ARGUMENTS
+with_output) plus the exact-reference program -- itself a chain program
+whose k=0 output is the gate reference AND whose slope is the
+bilateral_4k/nlm_4k exact timing row (one load serves both; exact-kernel
+cost is content-independent, so render-content timing equals the
+historical noise-content timing). Frames are chain ARGUMENTS
 rather than closures, so the noise-content rows re-time the render row's
 program (slope_from_program: zero loads) and the NLM/layers gates reuse
 the measured program on the gate content.
@@ -631,12 +635,32 @@ def _measure(rec: _Record, phases: _Phases) -> None:
         # (k is a dynamic arg: no extra compiles).
         return (1, 16, 64) if d >= 8 else (1, 8, 32) if d > 2 else (1, 4, 16)
 
+    def _exact_bilateral_4k(sg):
+        """Exact 4K bilateral reference for sigma `sg`, computed ONCE per
+        sigma -- via an exact-kernel CHAIN program whose k=0 output is the
+        reference and whose slope is the `bilateral_4k` row (for the
+        reference sigma), so the gate and the exact-timing row share one
+        executable load. The disk-run kernel's cost is content-independent
+        (fixed taps), so timing on render equals the historical noise-content
+        timing."""
+        if sg not in exact_b_4k:
+            bp_s = bparams(sg)
+            fit, run = chiptime.slope_time(
+                lambda x: bilateral(x, bp_s),
+                render,
+                ks=(1, 2, 4),
+                with_output=True,
+            )
+            exact_b_4k[sg] = run(0, render)[1]
+            if sg is None and "bilateral_4k_mpix_s" not in out:
+                put_fit("bilateral_4k", fit.mpix_s(n_px), fit)
+        return exact_b_4k[sg]
+
     def gate_bilateral_one(d, K, sg, cells=("4k",)) -> None:
         bp_s = bparams(sg)
         db_s, db_4 = rec.gates.get((d, K, sg), (None, None))
         if "4k" in cells:
-            if sg not in exact_b_4k:  # cache the exact output per sigma
-                exact_b_4k[sg] = bilateral(render, bp_s)
+            _exact_bilateral_4k(sg)
             prog = chain_prog.get(("b", d, K, sg))
             got = (
                 prog[0](0, render)[1]  # the measured program, un-chained
@@ -691,14 +715,30 @@ def _measure(rec: _Record, phases: _Phases) -> None:
             weights_halfres=hrw,
         )
 
+    def _exact_nlm_4k():
+        """Exact 4K NLM reference (shared by every NLM gate), via an exact
+        CHAIN program whose k=0 output is the reference pair and whose slope
+        is the `nlm_4k` row -- one executable load for both. Box-sum SSD
+        cost is content-independent, so timing on render equals the
+        historical noise-content timing."""
+        if "4k" not in exact_n:
+            fit, run = chiptime.slope_time(
+                lambda nb, tgt: nlm_accumulate(tgt, nb, nlp),
+                render2,
+                render,
+                ks=(1, 2, 4),
+                with_output=True,
+            )
+            exact_n["4k"] = normalize(*run(0, render2, render)[1])
+            if "nlm_4k_mpix_s" not in out:
+                put_fit("nlm_4k", fit.mpix_s(n_px), fit)
+        return exact_n["4k"]
+
     def gate_nlm_one(key, cells=("4k",)) -> None:
         nlp_g = _nlm_params(key)
         db_s, db_4 = rec.nlm_gates.get(key, (None, None))
         if "4k" in cells:
-            if "4k" not in exact_n:  # exact output shared by every NLM gate
-                exact_n["4k"] = normalize(
-                    *nlm_accumulate(render, render2, nlp)
-                )
+            _exact_nlm_4k()
             prog = chain_prog.get(("n", key))
             pair = (
                 prog[0](0, render2, render)[1]  # measured program, un-chained
@@ -754,14 +794,14 @@ def _measure(rec: _Record, phases: _Phases) -> None:
 
     # --- exact kernels at 4K (value/vs_baseline; content-independent cost) --
     def phase_exact_4k():
-        fit_b = chiptime.slope_time(
-            lambda x: bilateral(x, bp), noise, ks=(1, 2, 4)
-        )
-        put_fit("bilateral_4k", fit_b.mpix_s(n_px), fit_b)
-        fit_n = chiptime.slope_time(
-            lambda nb: nlm_accumulate(noise, nb, nlp)[0], noise2, ks=(1, 2, 4)
-        )
-        put_fit("nlm_4k", fit_n.mpix_s(n_px), fit_n)
+        # Normally free: the headline units' gates already timed both exact
+        # rows through their reference chain programs (_exact_bilateral_4k /
+        # _exact_nlm_4k). This phase only fills rows a failed headline unit
+        # left missing.
+        if "bilateral_4k_mpix_s" not in out:
+            _exact_bilateral_4k(None)
+        if "nlm_4k_mpix_s" not in out:
+            _exact_nlm_4k()
 
     phases.run("exact_4k", phase_exact_4k, est_s=120)
 
