@@ -332,7 +332,16 @@ def _default_pad_free(d: int) -> bool:
     2,472/2,384 Mpix/s medians) -- the 74 MB grid's pad copy dominates the
     overhang cost. d=4 LOSES 19%% (the slab alignment overhang is +20%% grid
     cols => +25%% build blocks on a grid whose pad copy was only ~37 MB);
-    d=8 is a wash-to--4%%. Default ON at d=2 only."""
+    d=8 is a wash-to--4%%. Default ON at d=2 only.
+
+    Round-5 follow-up (tools/padfree_skip_ab_r5.py): zero-filling the
+    all-overhang build blocks (skipping their DMA + blur math entirely)
+    recovered only ~2%% -- d=4 still loses 17.3%%/16.4%% sign-consistent
+    and d=8 -5.5%%/wash, so the d>=4 cost is STRUCTURAL to the slab-extent
+    emission (ragged 1088-col output blocks / lost write coalescing), not
+    the overhang compute. Negative result: legacy stays at d>=4. d=2
+    re-measured with the branch in the kernel: padfree +9.4%% render /
+    +21.8%% noise vs legacy (sign-consistent; no regression)."""
     return d == 2
 
 
