@@ -384,6 +384,39 @@ def test_turbo_pad_free_matches_legacy(rng, hw, d, ua):
     _assert_bf16_grid_close(b, a)
 
 
+def test_turbo_pad_free_overhang_skip_geometry(rng):
+    """Pin the all-overhang block-skip path (round 5): with these tiles the
+    extended grid spans 3 build-block columns while the dup cells end inside
+    column 1, so column 2 is ENTIRELY overhang -- the build kernel writes
+    zeros there and skips its DMA + blur math. Valid-pixel outputs must
+    still match legacy (the slice's upsample weights for overhang cells are
+    structurally zero) and be finite everywhere."""
+    import jax.numpy as jnp
+
+    from test_sharding import _assert_bf16_grid_close
+
+    from image_denoising_filter_tpu.ops import fast
+
+    h, w, d = 128, 960, 4  # hs=32, ws=240
+    noisy = rng.uniform(0, 1, (h, w, 4)).astype(np.float32)
+    noisy[..., 3] = 1.0
+    bp = BilateralParams(uniform_alpha=True)
+    planar = jnp.transpose(jnp.asarray(noisy), (2, 0, 1))
+    kw = dict(tile_h=64, tile_w=1024, build_tile=(16, 128))
+    # Geometry audit (mirrors _grid_pipeline_planar/_build_grid_pallas):
+    # gws=256 -> slab_w=384 -> tw_tot=384 -> build nw=3 with j_bnd =
+    # ws//128 = 1: build column j=2 is all-overhang and skipped.
+    assert (240 // 128) + 1 < -(-384 // 128)
+    a = np.asarray(
+        fast._grid_pipeline_planar(planar, bp, 6, d, pad_free=False, **kw)
+    )
+    b = np.asarray(
+        fast._grid_pipeline_planar(planar, bp, 6, d, pad_free=True, **kw)
+    )
+    assert np.isfinite(b).all()
+    _assert_bf16_grid_close(b, a)
+
+
 @pytest.mark.parametrize(
     "slice_t,build_t", [((256, 256), (128, 256)), ((128, 512), (64, 128))]
 )
