@@ -82,7 +82,11 @@ the measured program on the gate content.
 New round-5 rows: `turbo_d8s6_*` -- the d=8 grid gated at sigma_spatial=6
 (at the reference's sigma_s=2 the d=8 pool must over-blur; the measured
 quality crossover is sigma_s ~5-6, docs/PERFORMANCE.md), CLI-reachable via
-`--turbo 8 --sigma-spatial 6`; and `temporal_fps_1080p[_turbo]` -- frames/s
+`--turbo 8 --sigma-spatial 6`; `nlm_turbo_s6hrwdisk_*` -- the s=6 disk trim
+stacked with the half-res weight field (CLI `--turbo D --search-radius 6
+--search-disk --weights-halfres`; CPU screen: quality-neutral vs s6disk,
+hrw's measured ~+19% speed -- the geomean carrier if its thin 4K gate
+holds); and `temporal_fps_1080p[_turbo]` -- frames/s
 of the flagship temporal config (5-frame multiframe NLM, one frame-batched
 kernel launch + normalize) at 1080p, device-resident
 (/root/reference/src/main.cpp:1539-1624 is the reference's flagship loop).
@@ -157,20 +161,28 @@ TURBO_REST = TURBO_SETTINGS[3:]
 TURBO_NOISE = {(4, 5, None), (2, 5, None), (8, 6, 6.0)}
 # NLM turbo settings, priority-ordered: (search_radius, stride, disk, hrw).
 # s6disk (27 candidates) is the fastest gated row of the round-4 capture;
-# disk (37) has the widest quality margin (41.6/41.8 dB CPU screen). The
-# best GATED row carries the geomean.
+# disk (37) has the widest quality margin (41.6/41.8 dB CPU screen);
+# s6hrwdisk (round 5) stacks the half-res weight field on s6disk -- the CPU
+# screen puts it within 0.15 dB of s6disk on both gate contents (40.44 dB
+# sinusoid / 39.78 dB 540p-crop vs s6disk's 40.48/39.64: hrw's weight
+# smoothing is quality-neutral-to-regularizing) at hrw's ~+19% measured
+# speed, so if it gates at 4K it becomes the geomean carrier. The best
+# GATED row carries the geomean.
 NLM_TURBO_SETTINGS = (
     (6, 2, True, False),
     (7, 2, True, False),
+    (6, 2, True, True),
     (7, 2, False, False),
     (6, 2, False, False),
     (7, 2, True, True),
     (7, 2, False, True),
 )
-# The first two NLM rows are headline units (measure + gate before any
-# other row runs): s6disk carries the geomean in every round-4/5 capture;
-# disk is the quality-margin backup.
-NLM_REST = NLM_TURBO_SETTINGS[2:]
+# The first three NLM rows are headline units (measure + gate before the
+# rest phases run): s6disk carries the geomean in every round-4/5 capture;
+# disk is the quality-margin backup; s6hrwdisk is the round-5 challenger
+# (it rides LAST of the headline units so a thin-margin gate failure can
+# never cost the time-to-first-geomean).
+NLM_REST = NLM_TURBO_SETTINGS[3:]
 # Guided-layers turbo downsamples (per-layer unit of the layers battery
 # config, /root/reference/src/main.cpp:1957). K=5 is the round-5 shipping
 # default for the layers family too (quality within 0.1-0.3 dB of K=6,
@@ -302,6 +314,7 @@ class _Record:
             (6, 2, True, False): "nlm_turbo_s6disk",
             (7, 2, False, True): "nlm_turbo_hrw",
             (7, 2, True, True): "nlm_turbo_hrwdisk",
+            (6, 2, True, True): "nlm_turbo_s6hrwdisk",
         }
         for key, tag in nlm_tags.items():
             if key in nlm_turbo:
@@ -790,6 +803,11 @@ def _measure(rec: _Record, phases: _Phases) -> None:
     phases.run("headline_d2k5", lambda: unit_bilateral(2, 5, None), est_s=60)
     phases.run(
         "headline_nlm_disk", lambda: unit_nlm((7, 2, True, False)), est_s=60
+    )
+    phases.run(
+        "headline_nlm_s6hrwdisk",
+        lambda: unit_nlm((6, 2, True, True)),
+        est_s=60,
     )
 
     # --- exact kernels at 4K (value/vs_baseline; content-independent cost) --
