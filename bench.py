@@ -1022,10 +1022,12 @@ def _measure(rec: _Record, phases: _Phases) -> None:
             return fr.at[..., 3].set(1.0)
 
         frames = _mk_frames(jax.random.PRNGKey(5))
-        fit = chiptime.slope_time(
-            lambda t: normalize(*nlm_accumulate_frames(t, frames, nlp)),
+        fit, run_e = chiptime.slope_time(
+            lambda t, fr: normalize(*nlm_accumulate_frames(t, fr, nlp)),
             tgt,
+            frames,
             ks=(1, 2, 4),
+            with_output=True,
         )
         put("temporal_fps_1080p", 1.0 / fit.slope)
         with rec.lock:
@@ -1033,16 +1035,25 @@ def _measure(rec: _Record, phases: _Phases) -> None:
         nlp_t = NlmParams(
             uniform_alpha=True, search_stride=2, search_disk=True
         )
-        fit_t = chiptime.slope_time(
-            lambda t: normalize(*nlm_accumulate_frames(t, frames, nlp_t, bf16)),
+        fit_t, run_t = chiptime.slope_time(
+            lambda t, fr: normalize(*nlm_accumulate_frames(t, fr, nlp_t, bf16)),
             tgt,
+            frames,
             ks=(1, 4, 8),
+            with_output=True,
         )
         put("temporal_fps_1080p_turbo", 1.0 / fit_t.slope)
         with rec.lock:
             out["temporal_fps_1080p_turbo_spread"] = round(
                 float(fit_t.spread), 3
             )
+        # Self-gate (round 5): both outputs come from the MEASURED chain
+        # programs at k=0 -- zero extra loads -- so the record carries the
+        # temporal turbo's dB-vs-exact alongside its fps.
+        db_t = psnr_dev(run_t(0, tgt, frames)[1], run_e(0, tgt, frames)[1])
+        put("temporal_turbo_db_vs_exact", db_t)
+        with rec.lock:
+            out["temporal_turbo_gate_ok"] = bool(db_t >= GATE_DB)
 
     phases.run("temporal_fps", phase_temporal, est_s=120)
 
